@@ -1,0 +1,93 @@
+"""Shared flax building blocks for the CLIP/DaCLIP towers.
+
+TPU-native conventions used throughout the model library:
+  * params live in float32 (`param_dtype`), activations in `dtype` (bf16 on TPU),
+  * LayerNorm always accumulates in float32 and casts back — the equivalent of the
+    reference's `LayerNormFp32` (open_clip/transformer.py:13-19),
+  * attention logits/softmax in float32 via `preferred_element_type`,
+  * token layout is (batch, seq, dim); the reference permutes to (seq, batch, dim)
+    for torch's nn.MultiheadAttention, which is irrelevant here.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """Affine LayerNorm with f32 accumulation (open_clip/transformer.py:13-28)."""
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+def quick_gelu(x):
+    """x·σ(1.702x) — OpenAI CLIP activation (open_clip/transformer.py:31-34)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def get_act(quick: bool) -> Callable:
+    # exact (erf) GELU to match torch nn.GELU; jax's default is the tanh approximation
+    return quick_gelu if quick else (lambda x: nn.gelu(x, approximate=False))
+
+
+class MultiheadAttention(nn.Module):
+    """Packed-QKV softmax attention matching torch nn.MultiheadAttention semantics
+    (used by ResidualAttentionBlock, open_clip/transformer.py:189-244)."""
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        B, N, D = x.shape
+        H = self.heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, hd)
+        k = k.reshape(B, N, H, hd)
+        v = v.reshape(B, N, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (hd ** -0.5)
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    """c_fc → act → c_proj (open_clip/transformer.py:208-214)."""
+    width: int
+    mlp_width: int
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mlp_width, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="c_fc")(x)
+        x = get_act(self.quick_gelu)(x)
+        return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="c_proj")(x)

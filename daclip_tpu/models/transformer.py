@@ -1,0 +1,220 @@
+"""Transformer stacks for the CLIP vision/text towers and the DA-CLIP controller.
+
+TPU-first design decisions (vs open_clip/transformer.py):
+  * All L residual blocks are a single `nn.scan` over stacked parameters — one
+    compiled block body instead of L unrolled ones (fast compile, identical math).
+  * The DA-CLIP controller ("ControlTransformer", transformer.py:288-325) is the
+    same scanned block with a zero-initialised per-layer Dense producing hiddens.
+  * Control-state injection replicates the reference's `control.pop()` semantics
+    EXACTLY (transformer.py:359-368): the main tower's block i adds the controller's
+    hidden from block L-1-i.  Callers pass hiddens stacked (L, B, N, D); this module
+    flips them.  Do not "fix" the order — pretrained DA-CLIP weights depend on it.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from daclip_tpu.models.layers import LayerNorm, MLP, MultiheadAttention
+
+Dtype = Any
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN block (open_clip/transformer.py:189-244), scan-compatible.
+
+    As a scan body it maps (x, (ctrl, mask)) -> (x, hidden) where `hidden` is the
+    per-layer output consumed by the DA-CLIP controller wiring:
+      * controller=False: hidden = x after the block (transformer.py:365-366)
+      * controller=True:  hidden = zero_linear(x)    (transformer.py:318-321)
+    `ctrl` (if not None) is added AFTER the block output (transformer.py:367-368).
+    """
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    controller: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inputs):
+        ctrl, mask = inputs
+        x = x + MultiheadAttention(self.width, self.heads, dtype=self.dtype,
+                                   name="attn")(LayerNorm(dtype=self.dtype,
+                                                          name="ln_1")(x), mask)
+        x = x + MLP(self.width, int(self.width * self.mlp_ratio),
+                    quick_gelu=self.quick_gelu, dtype=self.dtype,
+                    name="mlp")(LayerNorm(dtype=self.dtype, name="ln_2")(x))
+        if self.controller:
+            hidden = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                              kernel_init=nn.initializers.zeros,
+                              bias_init=nn.initializers.zeros,
+                              name="zero_module")(x)
+        else:
+            hidden = x
+        if ctrl is not None:
+            x = x + ctrl
+        return x, hidden
+
+
+class Transformer(nn.Module):
+    """L scanned residual blocks (open_clip/transformer.py:328-369).
+
+    __call__(x, mask=None, control=None, output_hiddens=False)
+      control: (L, B, N, D) stacked controller hiddens in *controller block order*;
+               injected reversed (`control.pop()` parity — see module docstring).
+      returns x or (x, hiddens (L, B, N, D)).
+    """
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    controller: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, control=None,
+                 output_hiddens: bool = False):
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False,
+                                 static_argnums=())
+        scan = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=((0 if control is not None else nn.broadcast, nn.broadcast),),
+            out_axes=0,
+            length=self.layers,
+        )
+        if control is not None:
+            control = jnp.flip(control, axis=0).astype(x.dtype)
+        x, hiddens = scan(
+            width=self.width, heads=self.heads, mlp_ratio=self.mlp_ratio,
+            quick_gelu=self.quick_gelu, controller=self.controller,
+            dtype=self.dtype, name="resblocks")(x, (control, mask))
+        if output_hiddens:
+            return x, hiddens
+        return x
+
+
+def causal_mask(n: int) -> np.ndarray:
+    """Additive causal mask (open_clip/transformer.py:631-637)."""
+    mask = np.full((n, n), float("-inf"), dtype=np.float32)
+    return np.triu(mask, 1)
+
+
+class VisionTransformer(nn.Module):
+    """CLIP ViT (open_clip/transformer.py:372-555), NHWC input in [preprocessed]
+    normalized float, patch embedding as an MXU matmul over unfolded patches
+    (equivalent to the reference's stride-p conv, transformer.py:411,518-520).
+
+    controller=True turns this tower into the DA-CLIP controller: per-block
+    zero-Dense hiddens are returned when output_hiddens=True
+    (daclip_model.py:22-23 wraps the copied tower in ControlTransformer).
+    """
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    quick_gelu: bool = False
+    controller: bool = False
+    global_average_pool: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, control=None, output_hiddens: bool = False):
+        B = x.shape[0]
+        p = self.patch_size
+        gh, gw = x.shape[1] // p, x.shape[2] // p
+        n = gh * gw
+
+        # patch embed: (B,H,W,3) -> (B, n, p*p*3) @ kernel  (== conv k=p stride=p)
+        patches = x.reshape(B, gh, p, gw, p, 3)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(B, n, p * p * 3)
+        kernel = self.param("conv1", nn.initializers.normal(self.width ** -0.5),
+                            (p * p * 3, self.width), jnp.float32)
+        h = jnp.dot(patches.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (self.width,), jnp.float32)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(self.width ** -0.5),
+                         (n + 1, self.width), jnp.float32)
+        h = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.width)), h], axis=1)
+        h = h + pos.astype(self.dtype)
+
+        h = LayerNorm(dtype=self.dtype, name="ln_pre")(h)
+        out = Transformer(self.width, self.layers, self.heads, self.mlp_ratio,
+                          quick_gelu=self.quick_gelu, controller=self.controller,
+                          remat=self.remat, dtype=self.dtype, name="transformer")(
+            h, mask=None, control=control, output_hiddens=output_hiddens)
+        if output_hiddens:
+            h, hiddens = out
+        else:
+            h = out
+
+        if self.global_average_pool:
+            pooled = h.mean(axis=1)
+        else:
+            pooled = h[:, 0]
+        pooled = LayerNorm(dtype=self.dtype, name="ln_post")(pooled)
+        proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
+                          (self.width, self.output_dim), jnp.float32)
+        pooled = jnp.dot(pooled, proj.astype(pooled.dtype),
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if output_hiddens:
+            return pooled, hiddens
+        return pooled
+
+
+class TextTransformer(nn.Module):
+    """CLIP text tower (open_clip/transformer.py:558-683, embed_cls=False path;
+    also the inlined text stack of model.py:203-249)."""
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    quick_gelu: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text):
+        # text: (B, L) int32 token ids
+        L = text.shape[1]
+        tok = self.param("token_embedding", nn.initializers.normal(0.02),
+                         (self.vocab_size, self.width), jnp.float32)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (self.context_length, self.width), jnp.float32)
+        x = jnp.take(tok, text, axis=0).astype(self.dtype)
+        x = x + pos[:L].astype(self.dtype)
+        mask = jnp.asarray(causal_mask(L))
+        x = Transformer(self.width, self.layers, self.heads, self.mlp_ratio,
+                        quick_gelu=self.quick_gelu, remat=self.remat,
+                        dtype=self.dtype, name="transformer")(x, mask=mask)
+        x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        # EOT pooling: highest token id marks end of text (transformer.py:675)
+        eot = jnp.argmax(text, axis=-1)
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        proj = self.param("text_projection",
+                          nn.initializers.normal(self.width ** -0.5),
+                          (self.width, self.output_dim), jnp.float32)
+        return jnp.dot(pooled, proj.astype(pooled.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)

@@ -1,0 +1,385 @@
+"""ConditionalUNet — the IR-SDE noise/score network, NHWC flax re-design.
+
+Reference: universal-image-restoration/config/daclip-sde/models/modules/
+  DenoisingUNet_arch.py:21-174 (+ the wild-ir variant with `scale=0.5`,
+  config/wild-ir/models/modules/DenoisingUNet_arch.py:37-40,136-140,176-180),
+  module_util.py (ResBlock/LinearAttention/blocks), attention.py (SpatialTransformer).
+
+TPU-native choices:
+  * NHWC layout (XLA's native conv layout on TPU), params f32, compute `dtype`
+    (bf16 on TPU) with f32 normalisation statistics,
+  * single-token image-context cross-attention short-circuits the softmax
+    (softmax over one key is 1 → out = to_out(v)); mathematically identical,
+  * static shapes: callers pad/bucket image sizes; reflect-pad to a multiple of
+    2^depth is applied here exactly like the reference (:111-116).
+Weight-compat: module names map 1:1 onto the reference state_dict via
+utils/torch_convert.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """module_util.py:36-48."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Bias-free channel LayerNorm, biased variance (module_util.py:77-86)."""
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * g
+        return y.astype(x.dtype)
+
+
+def conv(features: int, kernel: int, use_bias: bool = False, strides: int = 1,
+         padding=None, dtype=jnp.float32, name: Optional[str] = None):
+    """default_conv (module_util.py:111-112): k//2 zero padding, bias off."""
+    if padding is None:
+        padding = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=strides,
+                   padding=padding, use_bias=use_bias, dtype=dtype,
+                   param_dtype=jnp.float32, name=name)
+
+
+class Block(nn.Module):
+    """conv3x3 (no bias) → optional (scale+1)·x+shift → SiLU (module_util.py:115-129)."""
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift: Optional[Tuple] = None):
+        x = conv(self.dim_out, 3, dtype=self.dtype, name="proj")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResBlock(nn.Module):
+    """module_util.py:132-153: time-conditioned double conv + skip."""
+    dim_out: int
+    time_emb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb: Optional[jnp.ndarray] = None):
+        scale_shift = None
+        if self.time_emb and time_emb is not None:
+            h = nn.silu(time_emb)
+            h = nn.Dense(self.dim_out * 2, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="mlp")(h)
+            h = h[:, None, None, :]
+            scale_shift = jnp.split(h, 2, axis=-1)
+        h = Block(self.dim_out, dtype=self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, dtype=self.dtype, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = conv(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """Channel linear attention (module_util.py:157-185), wrapped by the caller in
+    Residual(PreNorm(·)).  hidden = heads·dim_head = 128 for every level."""
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        B, H, W, C = x.shape
+        n = H * W
+        hidden = self.heads * self.dim_head
+        qkv = conv(hidden * 3, 1, dtype=self.dtype, name="to_qkv")(x)
+        qkv = qkv.reshape(B, n, 3, self.heads, self.dim_head).astype(jnp.float32)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, n, h, d)
+        q = jax.nn.softmax(q, axis=-1)            # softmax over d (ref dim=-2)
+        k = jax.nn.softmax(k, axis=1)             # softmax over n (ref dim=-1)
+        q = q * (self.dim_head ** -0.5)
+        v = v / n
+        ctx = jnp.einsum("bnhd,bnhe->bhde", k, v)  # (B, h, d, e)
+        out = jnp.einsum("bhde,bnhd->bnhe", ctx, q)
+        out = out.reshape(B, H, W, hidden).astype(x.dtype)
+        out = conv(C, 1, use_bias=True, dtype=self.dtype, name="to_out")(out)
+        return ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")(out)
+
+
+class CrossAttention(nn.Module):
+    """attention.py:152-193.  When the context has exactly one token the softmax
+    over keys is identically 1, so out = to_out(v) — exact same math, no attention
+    matrix materialised (the DA-CLIP image context is a single 512-d embedding,
+    DenoisingUNet_arch.py:139-140)."""
+    heads: int
+    dim_head: int
+    query_dim: int
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        B, N, _ = x.shape
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_v")(ctx)
+        if ctx.shape[1] == 1 and ctx is not x:
+            out = jnp.broadcast_to(v, (B, N, inner))
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="to_q")(x)
+            q = q.reshape(B, N, self.heads, self.dim_head)
+            k = k.reshape(B, -1, self.heads, self.dim_head)
+            v = v.reshape(B, -1, self.heads, self.dim_head)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits * (self.dim_head ** -0.5), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
+            out = out.reshape(B, N, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="to_out")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attention.py:196-215: self-attn, cross-attn, GEGLU FF, each pre-LN residual."""
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
+        x = CrossAttention(self.heads, self.dim_head, self.dim,
+                           dtype=self.dtype, name="attn1")(ln("norm1")(x)) + x
+        x = CrossAttention(self.heads, self.dim_head, self.dim, self.context_dim,
+                           dtype=self.dtype, name="attn2")(ln("norm2")(x),
+                                                           context=context) + x
+        # FeedForward glu=True: GEGLU(dim→4·dim) → Linear(4·dim→dim) (attention.py:37-64)
+        h = ln("norm3")(x)
+        h = nn.Dense(self.dim * 8, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="ff_geglu")(h)
+        a, gate = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(gate, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="ff_out")(h)
+        return h + x
+
+
+class SpatialTransformer(nn.Module):
+    """attention.py:218-261: GroupNorm → 1×1 in → transformer block(s) → zero-init
+    1×1 out, inner residual."""
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        B, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm")(x)
+        h = conv(inner, 1, use_bias=True, dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, inner)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(inner, self.heads, self.dim_head,
+                                      self.context_dim, dtype=self.dtype,
+                                      name=f"block{d}")(h, context=context)
+        h = h.reshape(B, H, W, inner)
+        h = nn.Conv(C, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
+                    name="proj_out")(h)
+        return h + x_in
+
+
+class AttnWrap(nn.Module):
+    """Residual(PreNorm(dim, attn)) (module_util.py:27-33,89-97)."""
+    use_spatial: bool
+    heads: int
+    dim_head: int = 32
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
+        if self.use_spatial:
+            h = SpatialTransformer(self.heads, self.dim_head,
+                                   context_dim=self.context_dim,
+                                   dtype=self.dtype, name="fn")(h, context=context)
+        else:
+            h = LinearAttention(dtype=self.dtype, name="fn")(h, context=context)
+        return h + x
+
+
+class ConditionalUNet(nn.Module):
+    """DenoisingUNet_arch.py:21-174.  forward(xt, cond, time, text_context,
+    image_context) predicts the noise; input is cat(xt−cond, cond) on channels."""
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    context_dim: int = 512
+    use_degra_context: bool = True
+    use_image_context: bool = False
+    upscale: int = 1            # unused (parity with reference signature)
+    scale: float = 1.0          # wild-ir: 0.5 → internal down/upsample (:37-40)
+    # levels with i >= this use SpatialTransformer instead of LinearAttention when
+    # use_image_context; the daclip-sde reference hardcodes `i < 3` (arch :79-80),
+    # wild-ir uses `i < depth-1` (its arch :83-84) — pass depth-1 for wild-ir.
+    spatial_attn_min_level: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xt, cond, time, text_context=None, image_context=None):
+        depth = len(self.ch_mult)
+        nf = self.nf
+        time_dim = nf * 4
+        cdim = -1 if self.context_dim is None else self.context_dim
+
+        if jnp.ndim(time) == 0:
+            time = jnp.full((xt.shape[0],), time, dtype=jnp.float32)
+
+        x = jnp.concatenate([xt - cond, cond], axis=-1).astype(self.dtype)
+
+        # reflect-pad H,W to a multiple of 2^depth (:111-116)
+        Hh, Ww = x.shape[1], x.shape[2]
+        s = 2 ** depth
+        pad_h = (s - Hh % s) % s
+        pad_w = (s - Ww % s) % s
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+
+        x = conv(nf, 7, dtype=self.dtype, name="init_conv")(x)
+        x_skip = x
+
+        if self.scale == 0.5:
+            x = Downsample2x(nf, dtype=self.dtype, name="pre_down")(x)
+
+        # time embedding (:51-56)
+        t = sinusoidal_pos_emb(time, nf)
+        t = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="time_mlp_1")(t.astype(self.dtype))
+        t = nn.gelu(t, approximate=False)
+        t = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="time_mlp_2")(t)
+
+        # degradation prompt injection (:58-63, :133-137)
+        if cdim > 0 and self.use_degra_context and text_context is not None:
+            prompt = self.param("prompt", nn.initializers.uniform(scale=1.0),
+                                (1, time_dim), jnp.float32)
+            pe = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="text_mlp_1")(text_context.astype(self.dtype))
+            pe = nn.silu(pe)
+            pe = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="text_mlp_2")(pe)
+            pe = jax.nn.softmax(pe.astype(jnp.float32), axis=1).astype(self.dtype)
+            pe = pe * prompt.astype(self.dtype)
+            pe = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="prompt_mlp")(pe)
+            t = t + pe
+
+        if self.use_image_context and cdim > 0 and image_context is not None:
+            image_context = image_context[:, None, :]  # (B, 1, cdim) (:139-140)
+
+        ch = [1] + list(self.ch_mult)
+        hs = []
+        for i in range(depth):
+            dim_in, dim_out = nf * ch[i], nf * ch[i + 1]
+            spatial = (self.use_image_context and cdim > 0
+                       and i >= self.spatial_attn_min_level)
+            x = ResBlock(dim_in, dtype=self.dtype, name=f"down{i}_block1")(x, t)
+            hs.append(x)
+            x = ResBlock(dim_in, dtype=self.dtype, name=f"down{i}_block2")(x, t)
+            x = AttnWrap(spatial, heads=dim_in // 32, context_dim=cdim,
+                         dtype=self.dtype, name=f"down{i}_attn")(
+                x, context=image_context)
+            hs.append(x)
+            if i != depth - 1:
+                x = nn.Conv(dim_out, (4, 4), strides=2, padding=1, use_bias=True,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"down{i}_downsample")(x)
+            else:
+                x = conv(dim_out, 3, dtype=self.dtype, name=f"down{i}_downsample")(x)
+
+        mid = nf * ch[-1]
+        spatial_mid = self.use_image_context and cdim > 0
+        x = ResBlock(mid, dtype=self.dtype, name="mid_block1")(x, t)
+        x = AttnWrap(spatial_mid, heads=mid // 32, context_dim=cdim,
+                     dtype=self.dtype, name="mid_attn")(x, context=image_context)
+        x = ResBlock(mid, dtype=self.dtype, name="mid_block2")(x, t)
+
+        for i in reversed(range(depth)):
+            dim_in, dim_out = nf * ch[i], nf * ch[i + 1]
+            spatial = (self.use_image_context and cdim > 0
+                       and i >= self.spatial_attn_min_level)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResBlock(dim_out, dtype=self.dtype, name=f"up{i}_block1")(x, t)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResBlock(dim_out, dtype=self.dtype, name=f"up{i}_block2")(x, t)
+            x = AttnWrap(spatial, heads=dim_out // 32, context_dim=cdim,
+                         dtype=self.dtype, name=f"up{i}_attn")(
+                x, context=image_context)
+            if i != 0:
+                x = Upsample2x(dim_in, dtype=self.dtype, name=f"up{i}_upsample")(x)
+            else:
+                x = conv(dim_in, 3, dtype=self.dtype, name=f"up{i}_upsample")(x)
+
+        if self.scale == 0.5:
+            x = Upsample2x(nf, dtype=self.dtype, name="post_up")(x)
+
+        x = jnp.concatenate([x, x_skip], axis=-1)
+        x = ResBlock(nf, dtype=self.dtype, name="final_res_block")(x, t)
+        x = nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="final_conv")(x)
+        return x[:, :Hh, :Ww, :].astype(jnp.float32)
+
+
+class Upsample2x(nn.Module):
+    """nearest 2× + conv3x3(bias) (module_util.py:100-104)."""
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.dim_out, (3, 3), padding=1, use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="conv")(x)
+
+
+class Downsample2x(nn.Module):
+    """conv4x4 stride2 pad1 (module_util.py:107-108)."""
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim_out, (4, 4), strides=2, padding=1, use_bias=True,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="conv")(x)

@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the reference's
+NCCL/DDP/SLURM plumbing (da-clip/src/training/distributed.py, SURVEY.md §2.4).
+
+Design: a 2-D logical mesh ('data', 'fsdp').
+  * 'data'  — batch sharding (pure DP; the reference only ever does DP).
+  * 'fsdp'  — optional ZeRO-style parameter sharding: each large parameter is
+    sharded along its largest divisible axis; XLA all-gathers it on use and
+    reduce-scatters the gradient (free win of the mesh design, off by default).
+
+Everything rides ICI inside a slice; multi-host init is `jax.distributed` via
+`initialize_distributed()` (env-driven, the analogue of distributed.py:43-114).
+Gradient averaging is implicit: batch-sharded inputs + mean loss under jit make
+GSPMD insert the reduction — no explicit all-reduce anywhere.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed():
+    """Multi-host init (no-op single-host). Env-driven like the reference's
+    RANK/WORLD_SIZE discovery (distributed.py:43-60) but via JAX coordinator."""
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(data: int = -1, fsdp: int = 1, devices=None) -> Mesh:
+    """Create a ('data', 'fsdp') mesh.  data=-1 → all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % fsdp == 0, (n, fsdp)
+        data = n // fsdp
+    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+    return Mesh(devices.reshape(data, fsdp), ("data", "fsdp"))
+
+
+def shard_batch(mesh: Mesh):
+    """NamedSharding for batch pytrees: leading axis over 'data' (and 'fsdp' if
+    present, so the full mesh consumes the batch)."""
+    axes = ("data",) if mesh.shape["fsdp"] == 1 else (("data", "fsdp"),)
+    return NamedSharding(mesh, P(axes[0]))
+
+
+def replicate_tree(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def fsdp_param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """ZeRO-style shardings: shard each parameter ≥min_size along its largest
+    axis divisible by the fsdp mesh dim; smaller params replicate."""
+    n_fsdp = mesh.shape["fsdp"]
+
+    def spec_for(x):
+        if n_fsdp == 1 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        shape = x.shape
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for ax in order:
+            if shape[ax] % n_fsdp == 0:
+                spec = [None] * len(shape)
+                spec[ax] = "fsdp"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)

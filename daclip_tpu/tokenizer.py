@@ -1,0 +1,177 @@
+"""CLIP byte-BPE tokenizer — pure host-side Python (never jitted).
+
+Clean-room implementation of the standard OpenAI CLIP tokenizer semantics used by
+the reference (open_clip/tokenizer.py:159-188: vocab 49408, context 77, SOT/EOT,
+truncate-with-EOT).  Vocab data file `bpe_simple_vocab_16e6.txt.gz` is vendored
+(same public OpenAI asset the reference ships).
+
+ftfy is optional: when absent, text cleaning falls back to double html-unescape
+(identical for ASCII captions, which is all the DA-CLIP data pipeline produces).
+"""
+from __future__ import annotations
+
+import gzip
+import html
+import os
+from functools import lru_cache
+from typing import List, Union
+
+import numpy as np
+
+try:
+    import regex as re
+except ImportError:  # pragma: no cover
+    import re  # type: ignore
+
+try:
+    import ftfy
+except ImportError:  # pragma: no cover
+    ftfy = None
+
+DEFAULT_BPE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "assets", "bpe_simple_vocab_16e6.txt.gz")
+CONTEXT_LENGTH = 77
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Reversible byte→unicode map avoiding whitespace/control chars (GPT-2/CLIP
+    standard construction)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def _clean(text: str) -> str:
+    if ftfy is not None:
+        text = ftfy.fix_text(text)
+    else:
+        text = html.unescape(html.unescape(text))
+    text = html.unescape(html.unescape(text))
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+class SimpleTokenizer:
+    def __init__(self, bpe_path: str = DEFAULT_BPE_PATH):
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+        merges = merges[1:49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges]
+        vocab = list(bytes_to_unicode().values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = dict(zip(vocab, range(len(vocab))))
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache = {"<|startoftext|>": "<|startoftext|>",
+                      "<|endoftext|>": "<|endoftext|>"}
+        self.pat = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+            r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            re.IGNORECASE)
+        self.vocab_size = len(self.encoder)
+        self.sot_token = self.encoder["<|startoftext|>"]
+        self.eot_token = self.encoder["<|endoftext|>"]
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        result = " ".join(word)
+        self.cache[token] = result
+        return result
+
+    def encode(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
+        text = _clean(text).lower()
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return bpe_tokens
+
+    def decode(self, tokens) -> str:
+        text = "".join(self.decoder[int(t)] for t in tokens)
+        return bytearray(self.byte_decoder[c] for c in text).decode(
+            "utf-8", errors="replace").replace("</w>", " ")
+
+
+_tokenizer = None
+
+
+def _default_tokenizer() -> SimpleTokenizer:
+    global _tokenizer
+    if _tokenizer is None:
+        _tokenizer = SimpleTokenizer()
+    return _tokenizer
+
+
+def tokenize(texts: Union[str, List[str]],
+             context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+    """Tokenize into a (N, context_length) int32 array; pads with 0, truncates
+    keeping EOT last (open_clip/tokenizer.py:159-188)."""
+    if isinstance(texts, str):
+        texts = [texts]
+    tk = _default_tokenizer()
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = [tk.sot_token] + tk.encode(text) + [tk.eot_token]
+        if len(tokens) > context_length:
+            tokens = tokens[:context_length]
+            tokens[-1] = tk.eot_token
+        result[i, : len(tokens)] = tokens
+    return result
+
+
+def get_tokenizer(model_name: str = ""):
+    """Registry hook mirroring open_clip.get_tokenizer (factory.py:78-85); all
+    shipped configs use the simple byte-BPE tokenizer."""
+    return tokenize

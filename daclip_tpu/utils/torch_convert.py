@@ -1,0 +1,312 @@
+"""PyTorch → JAX checkpoint conversion for the DA-CLIP / IR-SDE model zoo.
+
+Maps reference state_dicts (open_clip CLIP / DaCLIP `daclip_ViT-B-32.pt`,
+`universal-ir.pth` ConditionalUNet, EMA nets) onto our flax param pytrees.
+
+Key-name sources:
+  CLIP        — universal-image-restoration/open_clip/model.py:187-264
+  DaCLIP      — open_clip/daclip_model.py:17-76 (aliases `visual.*`≡`clip.visual.*`)
+  ControlTransformer zero_modules — open_clip/transformer.py:295-306
+  predictor   — da-clip/src/open_clip/daclip_model.py:37-44
+  ConditionalUNet — config/daclip-sde/models/modules/DenoisingUNet_arch.py
+  `module.` prefix strip — config/daclip-sde/models/base_model.py:98-104
+
+Torch is only needed to *read* .pt/.pth files; everything is converted to numpy
+immediately.  Weight layout conventions:
+  torch Linear  (O, I)        → flax Dense kernel (I, O)
+  torch Conv2d  (O, I, kh,kw) → flax Conv kernel (kh, kw, I, O)
+  ViT patch conv (D, 3, p, p) → matmul kernel (p·p·3, D), patch pixel-major
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    if isinstance(ckpt, dict) and "params_ema" in ckpt:
+        ckpt = ckpt["params_ema"]
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith("module."):  # DDP/DataParallel prefix (base_model.py:98-104)
+            k = k[7:]
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to(torch.float32).numpy()
+    return out
+
+
+def _t(w):  # torch Linear weight -> flax Dense kernel
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w):  # torch conv OIHW -> flax HWIO
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+# ---------------------------------------------------------------------------------
+# CLIP / DaCLIP
+# ---------------------------------------------------------------------------------
+
+def _convert_resblocks(sd: Dict[str, np.ndarray], prefix: str, layers: int,
+                       zero_prefix: Optional[str] = None) -> Dict:
+    """Stack per-layer block params along axis 0 for the scanned Transformer."""
+    def stack(fn):
+        return np.stack([fn(i) for i in range(layers)], axis=0)
+
+    out = {
+        "ln_1": {"scale": stack(lambda i: sd[f"{prefix}.{i}.ln_1.weight"]),
+                 "bias": stack(lambda i: sd[f"{prefix}.{i}.ln_1.bias"])},
+        "ln_2": {"scale": stack(lambda i: sd[f"{prefix}.{i}.ln_2.weight"]),
+                 "bias": stack(lambda i: sd[f"{prefix}.{i}.ln_2.bias"])},
+        "attn": {
+            "in_proj": {
+                "kernel": stack(lambda i: _t(sd[f"{prefix}.{i}.attn.in_proj_weight"])),
+                "bias": stack(lambda i: sd[f"{prefix}.{i}.attn.in_proj_bias"]),
+            },
+            "out_proj": {
+                "kernel": stack(lambda i: _t(sd[f"{prefix}.{i}.attn.out_proj.weight"])),
+                "bias": stack(lambda i: sd[f"{prefix}.{i}.attn.out_proj.bias"]),
+            },
+        },
+        "mlp": {
+            "c_fc": {"kernel": stack(lambda i: _t(sd[f"{prefix}.{i}.mlp.c_fc.weight"])),
+                     "bias": stack(lambda i: sd[f"{prefix}.{i}.mlp.c_fc.bias"])},
+            "c_proj": {"kernel": stack(lambda i: _t(sd[f"{prefix}.{i}.mlp.c_proj.weight"])),
+                       "bias": stack(lambda i: sd[f"{prefix}.{i}.mlp.c_proj.bias"])},
+        },
+    }
+    if zero_prefix is not None:
+        out["zero_module"] = {
+            "kernel": stack(lambda i: _t(sd[f"{zero_prefix}.{i}.weight"])),
+            "bias": stack(lambda i: sd[f"{zero_prefix}.{i}.bias"]),
+        }
+    return out
+
+
+def _convert_visual(sd: Dict[str, np.ndarray], prefix: str, layers: int,
+                    zero_prefix: Optional[str] = None,
+                    transformer_sub: str = "transformer.resblocks") -> Dict:
+    conv1 = sd[f"{prefix}.conv1.weight"]  # (D, 3, p, p)
+    D, C, p, _ = conv1.shape
+    kernel = np.transpose(conv1, (2, 3, 1, 0)).reshape(p * p * C, D)
+    return {
+        "conv1": np.ascontiguousarray(kernel),
+        "class_embedding": sd[f"{prefix}.class_embedding"],
+        "positional_embedding": sd[f"{prefix}.positional_embedding"],
+        "ln_pre": {"scale": sd[f"{prefix}.ln_pre.weight"],
+                   "bias": sd[f"{prefix}.ln_pre.bias"]},
+        "ln_post": {"scale": sd[f"{prefix}.ln_post.weight"],
+                    "bias": sd[f"{prefix}.ln_post.bias"]},
+        "proj": sd[f"{prefix}.proj"],
+        "transformer": {"resblocks": _convert_resblocks(
+            sd, f"{prefix}.{transformer_sub}", layers, zero_prefix)},
+    }
+
+
+def _count_layers(sd, prefix):
+    pat = re.compile(re.escape(prefix) + r"\.(\d+)\.ln_1\.weight$")
+    idx = [int(m.group(1)) for k in sd if (m := pat.match(k))]
+    return max(idx) + 1
+
+
+def convert_clip(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference CLIP state_dict (model.py:187-264) → our CLIP param tree."""
+    v_layers = _count_layers(sd, "visual.transformer.resblocks")
+    t_layers = _count_layers(sd, "transformer.resblocks")
+    return {
+        "visual": _convert_visual(sd, "visual", v_layers),
+        "text": {
+            "token_embedding": sd["token_embedding.weight"],
+            "positional_embedding": sd["positional_embedding"],
+            "ln_final": {"scale": sd["ln_final.weight"],
+                         "bias": sd["ln_final.bias"]},
+            "text_projection": sd["text_projection"],
+            "transformer": {"resblocks": _convert_resblocks(
+                sd, "transformer.resblocks", t_layers)},
+        },
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32),
+    }
+
+
+def convert_predictor(sd: Dict[str, np.ndarray], prefix: str = "predictor") -> Dict:
+    """Fork predictor head: 4 stacked Linear(7,14)-ReLU-Linear(14,7)-Tanh
+    (da-clip/src/open_clip/daclip_model.py:37-44)."""
+    return {
+        "reg_w1": np.stack([_t(sd[f"{prefix}.regressors.{i}.0.weight"]) for i in range(4)]),
+        "reg_b1": np.stack([sd[f"{prefix}.regressors.{i}.0.bias"] for i in range(4)]),
+        "reg_w2": np.stack([_t(sd[f"{prefix}.regressors.{i}.2.weight"]) for i in range(4)]),
+        "reg_b2": np.stack([sd[f"{prefix}.regressors.{i}.2.bias"] for i in range(4)]),
+    }
+
+
+def convert_daclip(sd: Dict[str, np.ndarray]) -> Dict:
+    """Full DaCLIP checkpoint (daclip_ViT-B-32.pt) → our DaCLIP param tree.
+
+    DaCLIP aliases `visual.*` ≡ `clip.visual.*` in the torch state_dict
+    (daclip_model.py:21); only `clip.*` and `visual_control.*` are read here.
+    """
+    clip_sd = {k[len("clip."):]: v for k, v in sd.items() if k.startswith("clip.")}
+    params = {"clip": convert_clip(clip_sd)}
+    vc_layers = _count_layers(sd, "visual_control.transformer.transformer.resblocks")
+    params["visual_control"] = _convert_visual(
+        sd, "visual_control", vc_layers,
+        zero_prefix="visual_control.transformer.zero_modules",
+        transformer_sub="transformer.transformer.resblocks")
+    params["logit_scale"] = np.asarray(sd["logit_scale"], np.float32)
+    if any(k.startswith("predictor.") for k in sd):
+        params["predictor"] = convert_predictor(sd)
+    return params
+
+
+def initial_controller(daclip_params: Dict) -> Dict:
+    """JAX equivalent of DaCLIP.initial_controller (daclip_model.py:26-34): copy the
+    frozen CLIP visual tower into the controller (zero_modules stay zero), and copy
+    logit_scale.  Input/output: our DaCLIP param tree (dicts of np/jnp arrays)."""
+    import jax
+
+    params = dict(daclip_params)
+    visual = params["clip"]["visual"]
+    ctrl = jax.tree.map(lambda x: x, params["visual_control"])  # copy structure
+
+    def copy_into(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                copy_into(dst[k], v)
+            else:
+                dst[k] = v
+
+    keep_zero = ctrl["transformer"]["resblocks"].get("zero_module")
+    copy_into(ctrl, visual)
+    if keep_zero is not None:
+        ctrl["transformer"]["resblocks"]["zero_module"] = jax.tree.map(
+            lambda x: x * 0, keep_zero)
+    params["visual_control"] = ctrl
+    params["logit_scale"] = params["clip"]["logit_scale"]
+    return params
+
+
+# ---------------------------------------------------------------------------------
+# ConditionalUNet
+# ---------------------------------------------------------------------------------
+
+def _conv_entry(sd, key, bias=True):
+    out = {"kernel": _conv(sd[f"{key}.weight"])}
+    if bias and f"{key}.bias" in sd:
+        out["bias"] = sd[f"{key}.bias"]
+    return out
+
+
+def _resblock(sd, prefix):
+    out = {
+        "mlp": {"kernel": _t(sd[f"{prefix}.mlp.1.weight"]),
+                "bias": sd[f"{prefix}.mlp.1.bias"]},
+        "block1": {"proj": _conv_entry(sd, f"{prefix}.block1.proj", bias=False)},
+        "block2": {"proj": _conv_entry(sd, f"{prefix}.block2.proj", bias=False)},
+    }
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = _conv_entry(sd, f"{prefix}.res_conv", bias=False)
+    return out
+
+
+def _linear_attention(sd, prefix):
+    return {
+        "to_qkv": _conv_entry(sd, f"{prefix}.to_qkv", bias=False),
+        "to_out": _conv_entry(sd, f"{prefix}.to_out.0"),
+        "to_out_norm": {"g": sd[f"{prefix}.to_out.1.g"].reshape(-1)},
+    }
+
+
+def _cross_attention(sd, prefix):
+    return {
+        "to_q": {"kernel": _t(sd[f"{prefix}.to_q.weight"])},
+        "to_k": {"kernel": _t(sd[f"{prefix}.to_k.weight"])},
+        "to_v": {"kernel": _t(sd[f"{prefix}.to_v.weight"])},
+        "to_out": {"kernel": _t(sd[f"{prefix}.to_out.0.weight"]),
+                   "bias": sd[f"{prefix}.to_out.0.bias"]},
+    }
+
+
+def _spatial_transformer(sd, prefix, depth=1):
+    out = {
+        "norm": {"scale": sd[f"{prefix}.norm.weight"],
+                 "bias": sd[f"{prefix}.norm.bias"]},
+        "proj_in": _conv_entry(sd, f"{prefix}.proj_in"),
+        "proj_out": _conv_entry(sd, f"{prefix}.proj_out"),
+    }
+    for d in range(depth):
+        b = f"{prefix}.transformer_blocks.{d}"
+        out[f"block{d}"] = {
+            "attn1": _cross_attention(sd, f"{b}.attn1"),
+            "attn2": _cross_attention(sd, f"{b}.attn2"),
+            "norm1": {"scale": sd[f"{b}.norm1.weight"], "bias": sd[f"{b}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{b}.norm2.weight"], "bias": sd[f"{b}.norm2.bias"]},
+            "norm3": {"scale": sd[f"{b}.norm3.weight"], "bias": sd[f"{b}.norm3.bias"]},
+            "ff_geglu": {"kernel": _t(sd[f"{b}.ff.net.0.proj.weight"]),
+                         "bias": sd[f"{b}.ff.net.0.proj.bias"]},
+            "ff_out": {"kernel": _t(sd[f"{b}.ff.net.2.weight"]),
+                       "bias": sd[f"{b}.ff.net.2.bias"]},
+        }
+    return out
+
+
+def _attn_wrap(sd, prefix):
+    """Residual(PreNorm(dim, fn)) → AttnWrap{norm, fn}."""
+    out = {"norm": {"g": sd[f"{prefix}.fn.norm.g"].reshape(-1)}}
+    if f"{prefix}.fn.fn.to_qkv.weight" in sd:
+        out["fn"] = _linear_attention(sd, f"{prefix}.fn.fn")
+    else:
+        out["fn"] = _spatial_transformer(sd, f"{prefix}.fn.fn")
+    return out
+
+
+def convert_unet(sd: Dict[str, np.ndarray], depth: int = 4) -> Dict:
+    """Reference ConditionalUNet state_dict → our flax param tree.
+
+    torch `ups` ModuleList index j corresponds to level i = depth-1-j because the
+    reference builds it with `insert(0, ...)` (DenoisingUNet_arch.py:92).
+    """
+    p: Dict = {
+        "init_conv": _conv_entry(sd, "init_conv", bias=False),
+        "time_mlp_1": {"kernel": _t(sd["time_mlp.1.weight"]),
+                       "bias": sd["time_mlp.1.bias"]},
+        "time_mlp_2": {"kernel": _t(sd["time_mlp.3.weight"]),
+                       "bias": sd["time_mlp.3.bias"]},
+        "mid_block1": _resblock(sd, "mid_block1"),
+        "mid_attn": _attn_wrap(sd, "mid_attn"),
+        "mid_block2": _resblock(sd, "mid_block2"),
+        "final_res_block": _resblock(sd, "final_res_block"),
+        "final_conv": _conv_entry(sd, "final_conv"),
+    }
+    if "prompt" in sd:
+        p["prompt"] = sd["prompt"]
+        p["text_mlp_1"] = {"kernel": _t(sd["text_mlp.0.weight"]),
+                           "bias": sd["text_mlp.0.bias"]}
+        p["text_mlp_2"] = {"kernel": _t(sd["text_mlp.2.weight"]),
+                           "bias": sd["text_mlp.2.bias"]}
+        p["prompt_mlp"] = {"kernel": _t(sd["prompt_mlp.weight"]),
+                           "bias": sd["prompt_mlp.bias"]}
+    for i in range(depth):
+        p[f"down{i}_block1"] = _resblock(sd, f"downs.{i}.0")
+        p[f"down{i}_block2"] = _resblock(sd, f"downs.{i}.1")
+        p[f"down{i}_attn"] = _attn_wrap(sd, f"downs.{i}.2")
+        p[f"down{i}_downsample"] = _conv_entry(sd, f"downs.{i}.3",
+                                               bias=i != depth - 1)
+        j = depth - 1 - i
+        p[f"up{i}_block1"] = _resblock(sd, f"ups.{j}.0")
+        p[f"up{i}_block2"] = _resblock(sd, f"ups.{j}.1")
+        p[f"up{i}_attn"] = _attn_wrap(sd, f"ups.{j}.2")
+        if i != 0:
+            p[f"up{i}_upsample"] = {"conv": _conv_entry(sd, f"ups.{j}.3.1")}
+        else:
+            p[f"up{i}_upsample"] = _conv_entry(sd, f"ups.{j}.3", bias=False)
+    if "downsample.weight" in sd:  # wild-ir scale=0.5 (wild-ir arch :37-40)
+        p["pre_down"] = {"conv": _conv_entry(sd, "downsample")}
+        p["post_up"] = {"conv": _conv_entry(sd, "upsample.1")}
+    return p

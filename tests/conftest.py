@@ -1,0 +1,32 @@
+"""Test config: force an 8-device virtual CPU mesh (the TPU analogue of multi-node
+testing without a cluster — SURVEY.md §4).  Must run before jax is imported."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pathlib
+import sys
+
+import jax
+import pytest
+
+# Parity tests compare float32 activations against torch; JAX's default matmul /
+# conv precision is reduced (bf16 passes) even on CPU, so force full f32 here.
+# Production code keeps the fast default (bf16 on the MXU).
+jax.config.update("jax_default_matmul_precision", "highest")
+# The env vars alone are not enough on hosts where a site config injects an
+# accelerator plugin into jax_platforms; force the virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+REFERENCE = pathlib.Path("/root/reference")
+sys.path.insert(0, str(REPO))
+
+requires_reference = pytest.mark.skipif(
+    not REFERENCE.exists(),
+    reason="upstream reference checkout not available (parity tests are dev-only)",
+)
