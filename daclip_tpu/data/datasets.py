@@ -1,0 +1,244 @@
+"""Dataset classes (host-side numpy), mirroring universal-image-restoration/data/:
+
+  MDDataset   — MD_dataset.py:27-120 (train: round-robin type by index + random
+                item; random crop, flip/rot, BGR→RGB, per-sample CLIP view)
+  MDGTDataset — MDGT_dataset.py:15-81 (GT-only + on-the-fly random_degrade,
+                10% grayscale at train)
+  LQGTDataset — LQGT_dataset.py:14-151 (paired folders, 20% grayscale at train)
+  LQDataset / GTDataset — unpaired single-folder variants
+
+Samples are dicts of numpy arrays in OUR conventions: HWC RGB float32 [0,1] for
+'GT'/'LQ', normalized (224,224,3) f32 for 'LQ_clip' (HWC, not CHW — TPU NHWC).
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from daclip_tpu.data import util
+from daclip_tpu.transforms import clip_transform
+
+
+def _finalize(img_GT, img_LQ, rng=None, clip_res: int = 224) -> Dict:
+    """BGR→RGB + CLIP view, shared tail of every dataset __getitem__."""
+    if img_GT is not None and img_GT.shape[2] == 3:
+        img_GT = img_GT[:, :, ::-1].copy()
+    if img_LQ is not None and img_LQ.shape[2] == 3:
+        img_LQ = img_LQ[:, :, ::-1].copy()
+    out = {}
+    if img_GT is not None:
+        out["GT"] = img_GT.astype(np.float32)
+    if img_LQ is not None:
+        out["LQ"] = img_LQ.astype(np.float32)
+        out["LQ_clip"] = clip_transform(img_LQ, clip_res)
+    return out
+
+
+class MDDataset:
+    """Multi-degradation paired folders `<dataroot>/<deg_type>/{GT,LQ}`."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.size = opt.get("patch_size")
+        self.deg_types = list(opt["distortion"])
+        self.phase = opt.get("phase", "train")
+        self.distortion = {}
+        for deg_type in self.deg_types:
+            gt = util.get_image_paths(opt.get("data_type"),
+                                      os.path.join(opt["dataroot"], deg_type, "GT"))
+            lq = util.get_image_paths(opt.get("data_type"),
+                                      os.path.join(opt["dataroot"], deg_type, "LQ"))
+            assert len(gt) == len(lq), (deg_type, len(gt), len(lq))
+            self.distortion[deg_type] = (gt, lq)
+        self.data_lens = [len(self.distortion[t][0]) for t in self.deg_types]
+        self.rng = random.Random(opt.get("seed"))
+
+    def __len__(self):
+        return int(np.sum(self.data_lens))
+
+    def __getitem__(self, index: int) -> Dict:
+        type_id = int(index % len(self.deg_types))
+        if self.phase == "train":
+            deg_type = self.deg_types[type_id]
+            index = self.rng.randrange(self.data_lens[type_id])
+        else:
+            while index // len(self.deg_types) >= self.data_lens[type_id]:
+                index += 1
+                type_id = int(index % len(self.deg_types))
+            deg_type = self.deg_types[type_id]
+            index = index // len(self.deg_types)
+
+        GT_path = self.distortion[deg_type][0][index]
+        LQ_path = self.distortion[deg_type][1][index]
+        img_GT = util.read_img(None, GT_path)
+        img_LQ = util.read_img(None, LQ_path)
+
+        if self.phase == "train":
+            H, W, _ = img_GT.shape
+            rnd_h = self.rng.randint(0, max(0, H - self.size))
+            rnd_w = self.rng.randint(0, max(0, W - self.size))
+            img_GT = img_GT[rnd_h: rnd_h + self.size, rnd_w: rnd_w + self.size, :]
+            img_LQ = img_LQ[rnd_h: rnd_h + self.size, rnd_w: rnd_w + self.size, :]
+            img_LQ, img_GT = util.augment([img_LQ, img_GT],
+                                          self.opt.get("use_flip", True),
+                                          self.opt.get("use_rot", True),
+                                          rng=self.rng)
+        if self.opt.get("color"):
+            img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
+            img_LQ = util.channel_convert(img_LQ.shape[2], self.opt["color"], [img_LQ])[0]
+
+        out = _finalize(img_GT, img_LQ, self.rng)
+        out.update({"type": deg_type, "GT_path": GT_path, "LQ_path": LQ_path})
+        return out
+
+
+class MDGTDataset:
+    """GT-only folders + on-the-fly degradation synthesis (wild-ir training)."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.GT_size = opt.get("patch_size")
+        self.phase = opt.get("phase", "train")
+        self.GT_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_GT"])
+        self.rng = random.Random(opt.get("seed"))
+
+    def __len__(self):
+        return len(self.GT_paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        from daclip_tpu.data import degradations as deg_util
+
+        GT_path = self.GT_paths[index]
+        img_GT = util.read_img(None, GT_path)
+        if self.opt.get("color"):
+            img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
+        if self.phase == "train":
+            H, W, _ = img_GT.shape
+            rnd_h = self.rng.randint(0, max(0, H - self.GT_size))
+            rnd_w = self.rng.randint(0, max(0, W - self.GT_size))
+            img_GT = img_GT[rnd_h: rnd_h + self.GT_size,
+                            rnd_w: rnd_w + self.GT_size, :]
+            img_GT = util.augment([img_GT], self.opt.get("use_flip", True),
+                                  self.opt.get("use_rot", True), rng=self.rng)[0]
+            if self.rng.random() < 0.1:  # MDGT_dataset.py:62-64
+                img_GT = util.channel_convert(img_GT.shape[2], "gray", [img_GT])[0]
+                img_GT = util.channel_convert(img_GT.shape[2],
+                                              self.opt.get("color", "RGB"),
+                                              [img_GT])[0]
+        img_LQ = deg_util.random_degrade(img_GT, rng=self.rng)
+        out = _finalize(img_GT, img_LQ, self.rng)
+        out["GT_path"] = GT_path
+        return out
+
+
+class LQGTDataset:
+    """Paired LQ/GT folders (test sets and paired training)."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.phase = opt.get("phase", "test")
+        self.GT_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_GT"])
+        self.LR_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_LQ"])
+        self.rng = random.Random(opt.get("seed"))
+
+    def __len__(self):
+        return len(self.GT_paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        scale = self.opt.get("scale") or 1
+        GT_size = self.opt.get("patch_size")
+        GT_path = self.GT_paths[index]
+        LR_path = self.LR_paths[index]
+        img_GT = util.read_img(None, GT_path)
+        img_LR = util.read_img(None, LR_path)
+
+        if self.phase == "train":
+            H, W, _ = img_LR.shape
+            LR_size = GT_size // scale
+            rnd_h = self.rng.randint(0, max(0, H - LR_size))
+            rnd_w = self.rng.randint(0, max(0, W - LR_size))
+            img_LR = img_LR[rnd_h: rnd_h + LR_size, rnd_w: rnd_w + LR_size, :]
+            gh, gw = int(rnd_h * scale), int(rnd_w * scale)
+            img_GT = img_GT[gh: gh + GT_size, gw: gw + GT_size, :]
+            img_LR, img_GT = util.augment([img_LR, img_GT],
+                                          self.opt.get("use_flip", True),
+                                          self.opt.get("use_rot", True),
+                                          rng=self.rng)
+            if self.rng.random() < 0.2:  # LQGT_dataset.py:129-131
+                img_GT = util.channel_convert(img_GT.shape[2], "gray", [img_GT])[0]
+                img_LR = util.channel_convert(img_LR.shape[2], "gray", [img_LR])[0]
+        if self.opt.get("color"):
+            img_LR = util.channel_convert(img_LR.shape[2], self.opt["color"], [img_LR])[0]
+            img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
+
+        out = _finalize(img_GT, img_LR, self.rng)
+        out.update({"LQ_path": LR_path, "GT_path": GT_path})
+        return out
+
+
+class LQDataset:
+    """Unpaired LQ images (inference without GT; LQ_dataset.py)."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.LR_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_LQ"])
+
+    def __len__(self):
+        return len(self.LR_paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        LR_path = self.LR_paths[index]
+        img_LR = util.read_img(None, LR_path)
+        if self.opt.get("color"):
+            img_LR = util.channel_convert(img_LR.shape[2], self.opt["color"], [img_LR])[0]
+        out = _finalize(None, img_LR)
+        out["LQ_path"] = LR_path
+        return out
+
+
+class GTDataset:
+    """GT-only with config-driven synthetic degradation (GT_dataset.py: noise
+    sigma / SR scale from the `degradation:` options block)."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.GT_size = opt.get("patch_size")
+        self.GT_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_GT"])
+        self.rng = random.Random(opt.get("seed"))
+
+    def __len__(self):
+        return len(self.GT_paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        from daclip_tpu.data import degradations as deg_util
+
+        GT_path = self.GT_paths[index]
+        img_GT = util.read_img(None, GT_path)
+        if self.phase == "train" and self.GT_size:
+            H, W, _ = img_GT.shape
+            rnd_h = self.rng.randint(0, max(0, H - self.GT_size))
+            rnd_w = self.rng.randint(0, max(0, W - self.GT_size))
+            img_GT = img_GT[rnd_h: rnd_h + self.GT_size,
+                            rnd_w: rnd_w + self.GT_size, :]
+            img_GT = util.augment([img_GT], self.opt.get("use_flip", True),
+                                  self.opt.get("use_rot", True), rng=self.rng)[0]
+        sigma = self.opt.get("sigma", 25)
+        img_LQ = deg_util.add_gaussian_noise(img_GT, sigma, rng=self.rng)
+        out = _finalize(img_GT, img_LQ, self.rng)
+        out["GT_path"] = GT_path
+        return out
+
+
+_REGISTRY = {"MD": MDDataset, "MDGT": MDGTDataset, "LQGT": LQGTDataset,
+             "LQ": LQDataset, "GT": GTDataset}
+
+
+def create_dataset(dataset_opt: Dict):
+    mode = dataset_opt["mode"]
+    if mode not in _REGISTRY:
+        raise NotImplementedError(f"Dataset mode {mode!r} is not recognized.")
+    return _REGISTRY[mode](dataset_opt)

@@ -1,0 +1,204 @@
+"""Image IO / augmentation / color utilities (numpy), mirroring
+universal-image-restoration/data/util.py semantics:
+
+  read_img       — util.py:68-85: cv2 read, float32 BGR [0,1]
+  augment        — util.py:98-116: random hflip + rot90-family
+  channel_convert— util.py:166-178
+  bgr2ycbcr      — util.py:189-211 (needed for PSNR_Y/SSIM_Y parity)
+  imresize_np    — util.py:252-399: MATLAB bicubic with antialiasing
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+IMG_EXTENSIONS = (".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG", ".ppm",
+                  ".PPM", ".bmp", ".BMP", ".tif", ".webp")
+
+
+def is_image_file(fname: str) -> bool:
+    return fname.endswith(IMG_EXTENSIONS)
+
+
+def get_paths_from_images(path: str) -> List[str]:
+    assert os.path.isdir(path), f"{path} is not a valid directory"
+    images = []
+    for dirpath, _, fnames in sorted(os.walk(path)):
+        for fname in sorted(fnames):
+            if is_image_file(fname):
+                images.append(os.path.join(dirpath, fname))
+    assert images, f"{path} has no valid image file"
+    return images
+
+
+def get_image_paths(data_type: Optional[str], dataroot: Optional[str]):
+    if dataroot is None:
+        return None
+    if data_type in (None, "img"):
+        return sorted(get_paths_from_images(dataroot))
+    raise NotImplementedError(f"data_type {data_type!r} not supported (img only; "
+                              "the reference's lmdb path is out of scope)")
+
+
+def read_img(env, path: str, size=None) -> np.ndarray:
+    """cv2 read → float32 HWC BGR in [0,1]; grayscale gets a channel axis."""
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.expand_dims(img, axis=2)
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return img
+
+
+def save_img(img: np.ndarray, img_path: str):
+    cv2.imwrite(img_path, img)
+
+
+def augment(img_list: Sequence[np.ndarray], hflip: bool = True, rot: bool = True,
+            mode=None, rng: Optional[random.Random] = None):
+    """Random horizontal flip / vertical flip / transpose (util.py:98-116)."""
+    rng = rng or random
+    hflip = hflip and rng.random() < 0.5
+    vflip = rot and rng.random() < 0.5
+    rot90 = rot and rng.random() < 0.5
+
+    def _aug(img):
+        if hflip:
+            img = img[:, ::-1, :]
+        if vflip:
+            img = img[::-1, :, :]
+        if rot90:
+            img = img.transpose(1, 0, 2)
+        return np.ascontiguousarray(img)
+
+    return [_aug(img) for img in img_list]
+
+
+def channel_convert(in_c: int, tar_type: str, img_list):
+    if in_c == 3 and tar_type == "gray":
+        return [np.expand_dims(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), 2)
+                for img in img_list]
+    if in_c == 3 and tar_type == "y":
+        return [np.expand_dims(bgr2ycbcr(img, only_y=True), 2) for img in img_list]
+    if in_c == 1 and tar_type == "RGB":
+        return [cv2.cvtColor(img, cv2.COLOR_GRAY2BGR) for img in img_list]
+    return img_list
+
+
+def rgb2ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
+    """ITU-R BT.601 full-swing, MATLAB-compatible (util.py:160-187 analogue)."""
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    if only_y:
+        out = x @ np.asarray([65.481, 128.553, 24.966]) / 255.0 + 16.0
+    else:
+        out = x @ np.asarray([[65.481, -37.797, 112.0],
+                              [128.553, -74.203, -93.786],
+                              [24.966, 112.0, -18.214]]) / 255.0 + [16, 128, 128]
+    if in_type == np.uint8:
+        out = out.round()
+    else:
+        out = out / 255.0
+    return out.astype(in_type)
+
+
+def bgr2ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
+    """BGR variant (util.py:189-211) — needed for PSNR_Y parity on cv2 images."""
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    if only_y:
+        out = x @ np.asarray([24.966, 128.553, 65.481]) / 255.0 + 16.0
+    else:
+        out = x @ np.asarray([[24.966, 112.0, -18.214],
+                              [128.553, -74.203, -93.786],
+                              [65.481, -37.797, 112.0]]) / 255.0 + [16, 128, 128]
+    if in_type == np.uint8:
+        out = out.round()
+    else:
+        out = out / 255.0
+    return out.astype(in_type)
+
+
+def modcrop(img_in: np.ndarray, scale: int) -> np.ndarray:
+    img = np.copy(img_in)
+    if img.ndim == 2:
+        h, w = img.shape
+        img = img[: h - h % scale, : w - w % scale]
+    elif img.ndim == 3:
+        h, w, _ = img.shape
+        img = img[: h - h % scale, : w - w % scale, :]
+    else:
+        raise ValueError(f"wrong img ndim: {img.ndim}")
+    return img
+
+
+# ---------------------------------------------------------------------------------
+# MATLAB imresize (bicubic, antialiased) — numpy
+# ---------------------------------------------------------------------------------
+
+def _cubic(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    ax2, ax3 = ax ** 2, ax ** 3
+    return ((1.5 * ax3 - 2.5 * ax2 + 1) * (ax <= 1)
+            + (-0.5 * ax3 + 2.5 * ax2 - 4 * ax + 2) * ((ax > 1) & (ax <= 2)))
+
+
+def _resize_weights(in_len: int, out_len: int, scale: float, antialias=True):
+    kernel_width = 4.0
+    if scale < 1 and antialias:
+        kernel_width = kernel_width / scale
+    x = np.arange(1, out_len + 1, dtype=np.float64)
+    u = x / scale + 0.5 * (1 - 1 / scale)
+    left = np.floor(u - kernel_width / 2)
+    p = int(np.ceil(kernel_width)) + 2
+    idx = left[:, None] + np.arange(p)[None, :] - 1          # 0-based candidate idx
+    dist = u[:, None] - (idx + 1)
+    if scale < 1 and antialias:
+        w = scale * _cubic(dist * scale)
+    else:
+        w = _cubic(dist)
+    w = w / np.sum(w, axis=1, keepdims=True)
+    # clamp out-of-range indices (replicate border, like MATLAB's symmetric fold
+    # approximation used by the reference implementation)
+    idx = np.clip(idx, 0, in_len - 1).astype(np.int64)
+    # drop all-zero weight columns
+    keep = ~np.all(w == 0, axis=0)
+    return w[:, keep], idx[:, keep]
+
+
+def imresize_np(img: np.ndarray, scale: float, antialiasing: bool = True) -> np.ndarray:
+    """MATLAB-style bicubic resize of HWC float imagery (util.py:344-399 parity to
+    ~1e-3 — index folding at borders uses clamping rather than reflection)."""
+    squeeze = False
+    if img.ndim == 2:
+        img = img[:, :, None]
+        squeeze = True
+    in_h, in_w, c = img.shape
+    out_h = int(np.ceil(in_h * scale))
+    out_w = int(np.ceil(in_w * scale))
+    x = img.astype(np.float64)
+
+    w_h, idx_h = _resize_weights(in_h, out_h, scale, antialiasing)
+    x = np.einsum("ok,okwc->owc", w_h, x[idx_h], optimize=True)
+    w_w, idx_w = _resize_weights(in_w, out_w, scale, antialiasing)
+    x = np.einsum("ok,hokc->hoc", w_w, x[:, idx_w], optimize=True)
+
+    out = x.astype(img.dtype if img.dtype != np.uint8 else np.float64)
+    if squeeze:
+        out = out[:, :, 0]
+    return out

@@ -1,0 +1,137 @@
+"""DA-CLIP training — the TPU-native harness core (reference:
+da-clip/src/training/main.py:219-459 + train.py:64-245).
+
+Key translations:
+  * lock_clip (daclip_model.py:36-38) → the `clip` subtree is partitioned out of
+    the optimizer AND `stop_gradient`-merged inside the loss, so XLA prunes the
+    frozen-branch backward where possible; gradients still flow *through* the
+    frozen ViT to the controller, exactly like torch requires_grad=False.
+  * AdamW no-weight-decay group for gains/bias/logit_scale (main.py:304-319) →
+    optax mask on ndim >= 2.
+  * logit_scale clamp to [0, ln(100)] after each step (train.py:187-189).
+  * gather_features → implicit GSPMD global-batch loss (losses/clip_loss.py).
+  * grad accumulation (train.py:124-162) → optax.MultiSteps.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from daclip_tpu.losses import daclip_loss_fork, daclip_loss_uir, clip_loss
+from daclip_tpu.train import schedules as sched
+
+
+class ClipTrainState(NamedTuple):
+    params: Any          # trainable subtree (visual_control, logit_scale, predictor)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class ClipTrainConfig:
+    """Mirrors training/params.py defaults for ViT-B-32 (params.py:5-11,26-459)."""
+    lr: float = 5e-4
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    wd: float = 0.2
+    warmup: int = 10000
+    total_steps: int = 100000
+    lr_scheduler: str = "cosine"       # cosine | const | const-cooldown
+    grad_clip_norm: Optional[float] = None
+    accum_freq: int = 1
+    variant: str = "fork"              # fork (FCRC+regression) | uir (degra contrastive)
+
+
+def partition_daclip_params(params) -> Tuple[Any, Any]:
+    """Split DaCLIP params into (trainable, frozen): `clip/*` is frozen
+    (lock_clip, daclip_model.py:36-38); controller + logit_scale (+ predictor)
+    train."""
+    trainable = {k: v for k, v in params.items() if k != "clip"}
+    frozen = {"clip": params["clip"]}
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    out = dict(trainable)
+    out.update(frozen)
+    return out
+
+
+def make_optimizer(cfg: ClipTrainConfig, params_sample):
+    if cfg.lr_scheduler == "cosine":
+        schedule = sched.clip_cosine_lr(cfg.lr, cfg.warmup, cfg.total_steps)
+    elif cfg.lr_scheduler == "const":
+        schedule = sched.clip_const_lr(cfg.lr, cfg.warmup)
+    else:
+        schedule = sched.clip_const_lr_cooldown(
+            cfg.lr, cfg.warmup, cfg.total_steps, cfg.total_steps // 10)
+
+    def wd_mask(params):
+        return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+    tx = optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                     weight_decay=cfg.wd, mask=wd_mask)
+    if cfg.grad_clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    if cfg.accum_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_freq)
+    return tx
+
+
+def init_state(params_trainable, cfg: ClipTrainConfig) -> ClipTrainState:
+    tx = make_optimizer(cfg, params_trainable)
+    return ClipTrainState(params=params_trainable,
+                          opt_state=tx.init(params_trainable),
+                          step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
+                    banks: Optional[Tuple] = None):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: dict with images (B,H,W,3), texts (B,154) int32 [--da concat],
+    gt_images, deg_type (B,4), gt_val (B,4).  `banks` = (bin_center_bank (4,7),
+    all_d_type_tokens (28,77)) constants (fork variant).
+    """
+    tx = make_optimizer(cfg, None)
+    frozen = jax.tree.map(jnp.asarray, frozen_params)
+
+    def loss_fn(trainable, batch):
+        params = {"params": merge_params(
+            trainable, jax.tree.map(jax.lax.stop_gradient, frozen))}
+        kwargs = {}
+        if cfg.variant == "fork" and banks is not None:
+            kwargs = dict(deg_type=batch["deg_type"], gt_val=batch["gt_val"],
+                          bin_center_bank=jnp.asarray(banks[0]),
+                          all_d_type_tokens=jnp.asarray(banks[1]))
+            out = model_apply(params, image=batch["images"], text=batch["texts"],
+                              gt_images=batch.get("gt_images"), **kwargs)
+            losses = daclip_loss_fork(out)
+        else:
+            out = model_apply(params, image=batch["images"], text=batch["texts"])
+            losses = daclip_loss_uir(out)
+        total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+        return total, losses
+
+    def train_step(state: ClipTrainState, batch):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # clamp logit_scale to [0, ln(100)] (train.py:187-189)
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0,
+                                         math.log(100.0))
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["logit_scale"] = jnp.exp(params["logit_scale"])
+        return ClipTrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step

@@ -32,7 +32,20 @@ def _ensure_stubs():
     tv.__path__ = []  # mark as package so submodule imports resolve via sys.modules
     tvu = _stub("torchvision.utils", save_image=lambda *a, **k: None)
     tv.utils = tvu
-    tvt = _stub("torchvision.transforms")
+    class _T:  # minimal transform stand-ins (we never call them through the stub)
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class _IM:
+        BICUBIC = "bicubic"
+        BILINEAR = "bilinear"
+
+    tvt = _stub("torchvision.transforms", Compose=_T, Resize=_T, CenterCrop=_T,
+                ToTensor=_T, Normalize=_T, InterpolationMode=_IM,
+                RandomResizedCrop=_T)
     tv.transforms = tvt
     ops = _stub("torchvision.ops")
     ops.misc = _stub("torchvision.ops.misc",
