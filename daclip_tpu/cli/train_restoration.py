@@ -1,0 +1,241 @@
+"""Universal-restoration training CLI — config/daclip-sde/train.py parity
+(train.py:46-352, call stack SURVEY.md §3.2), TPU-native:
+
+  * one jitted train step (context extraction + random states + matching loss +
+    AdamW/Lion + EMA); batch sharded over the `data` mesh axis,
+  * frozen DA-CLIP context extraction fused into the same jit (the reference runs
+    it under no_grad/amp per step, train.py:254-257),
+  * orbax checkpoints of {params, opt_state, ema, step} + resume,
+  * val loop every val_freq: posterior sampling + PSNR with best tracking
+    (train.py:282-337).
+
+Usage:
+  python -m daclip_tpu.cli.train_restoration -opt options/train.yml
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def build_dataloaders(opt, num_hosts=1, host_id=0):
+    from daclip_tpu.data import DataLoader, IterSampler, create_dataset
+
+    train_loader = val_loader = None
+    for phase, dataset_opt in (opt["datasets"] or {}).items():
+        phase = phase.split("_")[0]
+        if phase == "train":
+            ds = create_dataset(dataset_opt)
+            ratio = dataset_opt.get("dataset_enlarge_ratio", 200)
+            sampler = IterSampler(len(ds), host_id=host_id, num_hosts=num_hosts,
+                                  ratio=ratio)
+            train_loader = DataLoader(
+                ds, batch_size=dataset_opt.get("batch_size", 16) // num_hosts,
+                sampler=sampler,
+                num_workers=min(dataset_opt.get("n_workers", 4), 8))
+        elif phase == "val":
+            val_loader = create_dataset(dataset_opt)
+    return train_loader, val_loader
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-opt", required=True)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="override niter (smoke runs)")
+    p.add_argument("--val-sample-T", type=int, default=-1,
+                   help="shorter sampler for validation")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from daclip_tpu import config as cfg_mod
+    from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
+    from daclip_tpu.models.unet import ConditionalUNet
+    from daclip_tpu.parallel import initialize_distributed, make_mesh_for_batch
+    from daclip_tpu.sde import IRSDE
+    from daclip_tpu.train.restoration import (RestorationTrainConfig, init_state,
+                                              make_sampler, make_train_step)
+    from daclip_tpu.utils import metrics
+    from daclip_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
+                                             save_checkpoint)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    log = logging.getLogger("train")
+
+    initialize_distributed()
+    opt = cfg_mod.parse(args.opt, is_train=True)
+    per_host_batch = (opt["datasets"]["train"].get("batch_size", 16))
+    mesh = make_mesh_for_batch(per_host_batch)
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    train_opt = opt["train"] or {}
+    niter = args.max_steps or int(train_opt.get("niter", 700000))
+    cfg = RestorationTrainConfig(
+        optimizer=train_opt.get("optimizer", "AdamW"),
+        lr_G=float(train_opt.get("lr_G", 2e-4)),
+        lr_scheme=train_opt.get("lr_scheme", "TrueCosineAnnealingLR"),
+        beta1=float(train_opt.get("beta1", 0.9)),
+        beta2=float(train_opt.get("beta2", 0.99)),
+        niter=niter,
+        warmup_iter=int(train_opt.get("warmup_iter", -1) or -1),
+        lr_steps=tuple(train_opt.get("lr_steps") or ()),
+        lr_gamma=float(train_opt.get("lr_gamma", 0.5)),
+        eta_min=float(train_opt.get("eta_min", 1e-6)),
+        weight_decay_G=float(train_opt.get("weight_decay_G") or 0.0),
+        loss_type=train_opt.get("loss_type", "l1"),
+        weight=float(train_opt.get("weight", 1.0)),
+    )
+    sde_opt = opt["sde"] or {}
+    sde = IRSDE(max_sigma=sde_opt.get("max_sigma", 50), T=sde_opt.get("T", 100),
+                schedule=sde_opt.get("schedule", "cosine"),
+                eps=sde_opt.get("eps", 0.005))
+
+    net_opt = (opt["network_G"] or {}).get("setting", {}) or {}
+    unet = ConditionalUNet(
+        in_nc=net_opt.get("in_nc", 3), out_nc=net_opt.get("out_nc", 3),
+        nf=net_opt.get("nf", 64), ch_mult=tuple(net_opt.get("ch_mult", (1, 2, 4, 8))),
+        context_dim=net_opt.get("context_dim", 512),
+        use_degra_context=bool(net_opt.get("use_degra_context", True)),
+        use_image_context=bool(net_opt.get("use_image_context", True)),
+        scale=float(net_opt.get("scale", 1.0) or 1.0),
+        dtype=jnp.bfloat16)
+
+    # frozen DA-CLIP for context extraction (train.py:204-209)
+    daclip_apply = None
+    daclip_path = (opt["path"] or {}).get("daclip")
+    use_ctx = unet.use_degra_context or unet.use_image_context
+    if use_ctx and daclip_path and os.path.exists(str(daclip_path)):
+        from daclip_tpu.utils.torch_convert import (convert_daclip,
+                                                    load_torch_state_dict)
+        clip_cfg = CLIPCfg.from_dict(get_model_config("daclip_ViT-B-32"))
+        daclip = DaCLIP(clip_cfg, dtype=jnp.bfloat16)
+        daclip_params = jax.tree.map(
+            jnp.asarray, convert_daclip(load_torch_state_dict(str(daclip_path))))
+
+        def daclip_apply(clip_view):
+            img_f, degra_f = daclip.apply(
+                {"params": daclip_params}, clip_view, control=True, normalize=True,
+                method=daclip.encode_image)
+            return (jax.lax.stop_gradient(img_f.astype(jnp.float32)),
+                    jax.lax.stop_gradient(degra_f.astype(jnp.float32)))
+    elif use_ctx:
+        log.warning("no daclip checkpoint at %s — training without contexts",
+                    daclip_path)
+
+    # init / resume
+    B = (opt["datasets"]["train"].get("batch_size", 16))
+    patch = opt["datasets"]["train"].get("patch_size", 256)
+    x0 = jnp.zeros((1, patch, patch, 3))
+    ctx0 = jnp.zeros((1, net_opt.get("context_dim", 512) or 512))
+    params = unet.init(jax.random.PRNGKey(train_opt.get("manual_seed", 0) or 0),
+                       x0, x0, jnp.ones((1,)),
+                       ctx0 if unet.use_degra_context else None,
+                       ctx0 if unet.use_image_context else None)
+    state = init_state(params, cfg)
+    ckpt_dir = opt["path"]["training_state"]
+    start_step = 0
+    if ckpt_dir and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, target=state)
+        start_step = int(state.step)
+        log.info("resumed from step %d", start_step)
+    # place the state on the mesh (replicated) so every jit input shares the
+    # same device set — mixing committed single-device state with mesh-sharded
+    # batches deadlocks the CPU collective path
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    base_step = make_train_step(unet.apply, sde, cfg)
+
+    def full_step(state, batch, key):
+        if daclip_apply is not None:
+            img_ctx, degra_ctx = daclip_apply(batch["LQ_clip"])
+            batch = dict(batch, text_context=degra_ctx, image_context=img_ctx)
+        batch.pop("LQ_clip", None)
+        return base_step(state, batch, key)
+
+    # buffer donation deadlocks XLA:CPU's in-process collectives; donate on TPU only
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+    step_fn = jax.jit(full_step, donate_argnums=donate)
+
+    train_loader, val_ds = build_dataloaders(opt)
+    val_freq = int(train_opt.get("val_freq", 1e4))
+    save_freq = int((opt["logger"] or {}).get("save_checkpoint_freq", 1e4))
+    print_freq = int((opt["logger"] or {}).get("print_freq", 200))
+
+    val_sde = IRSDE(max_sigma=sde_opt.get("max_sigma", 50),
+                    T=sde_opt.get("T", 100), sample_T=args.val_sample_T,
+                    schedule=sde_opt.get("schedule", "cosine"),
+                    eps=sde_opt.get("eps", 0.005))
+    val_sampler = jax.jit(make_sampler(unet.apply, val_sde))
+    best_psnr, best_step = -1.0, -1
+
+    def run_val(state, step):
+        nonlocal best_psnr, best_step
+        if val_ds is None:
+            return
+        psnrs = []
+        for i in range(min(len(val_ds), 8)):
+            s = val_ds[i]
+            lq, gt = s["LQ"], s["GT"]
+            hh = (lq.shape[0] // 16) * 16
+            ww = (lq.shape[1] // 16) * 16
+            lq, gt = lq[:hh, :ww], gt[:hh, :ww]
+            tctx = ictx = None
+            if daclip_apply is not None:
+                ictx, tctx = daclip_apply(jnp.asarray(s["LQ_clip"][None]))
+            out = val_sampler(state.ema.params, jnp.asarray(lq[None]),
+                              jax.random.PRNGKey(i),
+                              tctx if unet.use_degra_context else None,
+                              ictx if unet.use_image_context else None)
+            psnrs.append(metrics.calculate_psnr(
+                metrics.array2img(np.asarray(out[0])), metrics.array2img(gt)))
+        psnr = float(np.mean(psnrs))
+        if psnr > best_psnr:
+            best_psnr, best_step = psnr, step
+        log.info("# val step %d: psnr %.4f (best %.4f @ %d)",
+                 step, psnr, best_psnr, best_step)
+
+    log.info("training from step %d to %d", start_step, niter)
+    key = jax.random.PRNGKey(1234)
+    step = start_step
+    t0 = time.time()
+    epoch = 0
+    while step < niter:
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            if step >= niter:
+                break
+            dev_batch = {
+                "LQ": jax.device_put(batch["LQ"], batch_sharding),
+                "GT": jax.device_put(batch["GT"], batch_sharding),
+            }
+            if daclip_apply is not None:
+                dev_batch["LQ_clip"] = jax.device_put(batch["LQ_clip"],
+                                                      batch_sharding)
+            state, m = step_fn(state, dev_batch, jax.random.fold_in(key, step))
+            step += 1
+            if step % print_freq == 0:
+                ips = print_freq * B / (time.time() - t0)
+                t0 = time.time()
+                log.info("step %d loss %.5f lr %.2e %.1f samples/s",
+                         step, float(m["loss"]), float(m["lr"]), ips)
+            if val_freq and step % val_freq == 0:
+                run_val(state, step)
+            if ckpt_dir and save_freq and step % save_freq == 0:
+                save_checkpoint(ckpt_dir, step, state, max_to_keep=5)
+                log.info("saved checkpoint @ %d", step)
+        epoch += 1
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, step, state, max_to_keep=5)
+    run_val(state, step)
+    log.info("done: best psnr %.4f @ step %d", best_psnr, best_step)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,8 +89,16 @@ _MODEL_CONFIGS: Dict[str, Dict] = {
                      "heads": 12, "layers": 12},
     },
 }
+# tiny config for smoke tests / CI (not part of reference parity)
+_MODEL_CONFIGS["test-tiny"] = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 16,
+                   "head_width": 32},
+    "text_cfg": {"context_length": 16, "vocab_size": 49408, "width": 32,
+                 "heads": 2, "layers": 2},
+}
 # daclip_* names reuse the underlying tower config (factory.py:191-192,225-227)
-for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14"]:
+for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14", "test-tiny"]:
     _MODEL_CONFIGS[f"daclip_{_name}"] = _MODEL_CONFIGS[_name]
 
 

@@ -1,4 +1,7 @@
-from daclip_tpu.parallel.mesh import (make_mesh, replicate_tree, shard_batch,
-                                      fsdp_param_shardings)
+from daclip_tpu.parallel.mesh import (fsdp_param_shardings,
+                                      initialize_distributed, make_mesh,
+                                      make_mesh_for_batch, replicate_tree,
+                                      shard_batch)
 
-__all__ = ["make_mesh", "replicate_tree", "shard_batch", "fsdp_param_shardings"]
+__all__ = ["make_mesh", "make_mesh_for_batch", "replicate_tree", "shard_batch",
+           "fsdp_param_shardings", "initialize_distributed"]

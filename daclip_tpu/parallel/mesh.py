@@ -40,6 +40,16 @@ def make_mesh(data: int = -1, fsdp: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, fsdp), ("data", "fsdp"))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """1-D data mesh using the largest device count that divides batch_size
+    (keeps tiny smoke batches runnable on many-device hosts)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(data=n, fsdp=1, devices=devices[:n])
+
+
 def shard_batch(mesh: Mesh):
     """NamedSharding for batch pytrees: leading axis over 'data' (and 'fsdp' if
     present, so the full mesh consumes the batch)."""

@@ -1,0 +1,218 @@
+"""End-to-end DA-CLIP universal image restoration pipeline — the `predict.py`
+north-star API (reference predict.py:33-91, call stack SURVEY.md §3.1).
+
+Flow per image:
+  1. host: cv2/PIL decode → RGB [0,1] float; CLIP view via clip_transform
+     (predict.py:63-64,94-106),
+  2. device: DaCLIP encode_image(control=True) → (image_context, degra_context)
+     (predict.py:66-69),
+  3. device: x_T = LQ + σ_max·ε; 100-step posterior (or sde/ode) sampler as one
+     jitted lax.scan (predict.py:71-84 → sde_utils.py:297-313),
+  4. host: tensor2img-compatible rounding (utils/img_utils.py:136-163).
+
+TPU-native additions (the reference processes arbitrary sizes eagerly):
+  * shape buckets — images are reflect-padded up to a small set of H×W buckets so
+    recompiles are bounded; crops back after sampling,
+  * overlap-tiled sampling for high-res inputs (Wild-IR config), feathered blend.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
+from daclip_tpu.models.unet import ConditionalUNet
+from daclip_tpu.sde import IRSDE
+from daclip_tpu.transforms import clip_transform
+from daclip_tpu.utils.metrics import array2img
+
+
+def default_buckets(max_size: int = 1024, step: int = 64):
+    return [step * i for i in range(1, max_size // step + 1)]
+
+
+def _bucketize(x: int, buckets) -> int:
+    for b in buckets:
+        if b >= x:
+            return b
+    return int(math.ceil(x / buckets[0]) * buckets[0])
+
+
+@dataclasses.dataclass
+class RestorerConfig:
+    model_name: str = "daclip_ViT-B-32"
+    # UNet (options/test.yml network_G.setting)
+    nf: int = 64
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    context_dim: int = 512
+    use_degra_context: bool = True
+    use_image_context: bool = True
+    scale: float = 1.0                    # wild-ir: 0.5
+    spatial_attn_min_level: int = 3
+    # SDE (options/test.yml sde)
+    max_sigma: float = 50
+    T: int = 100
+    sample_T: int = -1
+    schedule: str = "cosine"
+    eps: float = 0.005
+    sampling_mode: str = "posterior"      # posterior | sde | ode
+    # runtime
+    dtype: str = "bfloat16"
+    buckets_step: int = 64
+    tile_size: int = 512                  # tiled sampling threshold/size
+    tile_overlap: int = 64
+
+
+class DACLIPRestorer:
+    """Holds converted params + jit caches; `restore()` is the predict() parity
+    entry point."""
+
+    def __init__(self, cfg: RestorerConfig, unet_params, daclip_params):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.unet = ConditionalUNet(
+            nf=cfg.nf, ch_mult=tuple(cfg.ch_mult), context_dim=cfg.context_dim,
+            use_degra_context=cfg.use_degra_context,
+            use_image_context=cfg.use_image_context, scale=cfg.scale,
+            spatial_attn_min_level=cfg.spatial_attn_min_level, dtype=dtype)
+        clip_cfg = CLIPCfg.from_dict(get_model_config(cfg.model_name))
+        self.daclip = DaCLIP(clip_cfg, dtype=dtype)
+        self.unet_params = jax.tree.map(jnp.asarray, unet_params)
+        self.daclip_params = jax.tree.map(jnp.asarray, daclip_params)
+        self.sde = IRSDE(max_sigma=cfg.max_sigma, T=cfg.T, sample_T=cfg.sample_T,
+                         schedule=cfg.schedule, eps=cfg.eps)
+        self.buckets = default_buckets(step=cfg.buckets_step)
+
+        self._encode = jax.jit(self._encode_impl)
+        self._sample = jax.jit(self._sample_impl)
+
+    # -- model wrappers --------------------------------------------------------
+    def _encode_impl(self, img4clip):
+        img_f, degra_f = self.daclip.apply(
+            {"params": self.daclip_params}, img4clip, control=True, normalize=True,
+            method=self.daclip.encode_image)
+        return img_f.astype(jnp.float32), degra_f.astype(jnp.float32)
+
+    def _noise_fn(self, x, mu, t, text_context=None, image_context=None):
+        return self.unet.apply({"params": self.unet_params}, x, mu, t,
+                               text_context, image_context)
+
+    def _sample_impl(self, lq, key, tctx, ictx):
+        k1, k2 = jax.random.split(key)
+        x_T = self.sde.noise_state(k1, lq)
+        mode = self.cfg.sampling_mode
+        if mode == "sde":
+            return self.sde.reverse_sde(self._noise_fn, x_T, lq, k2,
+                                        text_context=tctx, image_context=ictx)
+        if mode == "ode":
+            return self.sde.reverse_ode(self._noise_fn, x_T, lq,
+                                        text_context=tctx, image_context=ictx)
+        return self.sde.reverse_posterior(self._noise_fn, x_T, lq, k2,
+                                          text_context=tctx, image_context=ictx)
+
+    # -- public API --------------------------------------------------------------
+    @classmethod
+    def from_torch(cls, unet_path: str, daclip_path: str,
+                   cfg: Optional[RestorerConfig] = None) -> "DACLIPRestorer":
+        """Load the reference checkpoints (universal-ir.pth + daclip_ViT-B-32.pt)
+        exactly like predict.py:34-56."""
+        from daclip_tpu.utils.torch_convert import (convert_daclip, convert_unet,
+                                                    load_torch_state_dict)
+        cfg = cfg or RestorerConfig()
+        unet_sd = load_torch_state_dict(unet_path)
+        unet_params = convert_unet(unet_sd, depth=len(cfg.ch_mult))
+        daclip_params = convert_daclip(load_torch_state_dict(daclip_path))
+        return cls(cfg, unet_params, daclip_params)
+
+    def contexts(self, image_rgb: np.ndarray):
+        """CLIP contexts from the LQ image ([0,1] float RGB HWC)."""
+        view = clip_transform(image_rgb)[None]
+        img_ctx, degra_ctx = self._encode(jnp.asarray(view))
+        if not self.cfg.use_image_context:
+            img_ctx = None
+        if not self.cfg.use_degra_context:
+            degra_ctx = None
+        return img_ctx, degra_ctx
+
+    def restore(self, image_rgb: np.ndarray, seed: int = 0,
+                return_uint8: bool = True):
+        """Restore a single [0,1] float RGB HWC image of any size."""
+        H, W = image_rgb.shape[:2]
+        img_ctx, degra_ctx = self.contexts(image_rgb)
+        key = jax.random.PRNGKey(seed)
+
+        if max(H, W) > self.cfg.tile_size:
+            out = self._restore_tiled(image_rgb, key, img_ctx, degra_ctx)
+        else:
+            bh = _bucketize(H, self.buckets)
+            bw = _bucketize(W, self.buckets)
+            lq = np.pad(image_rgb, ((0, bh - H), (0, bw - W), (0, 0)),
+                        mode="reflect") if (bh != H or bw != W) else image_rgb
+            out = self._sample(jnp.asarray(lq[None], jnp.float32), key,
+                               degra_ctx, img_ctx)
+            out = np.asarray(out[0, :H, :W])
+        if return_uint8:
+            return array2img(out)  # [0,255] uint8 BGR like the reference
+        return np.clip(out, 0, 1)
+
+    def _restore_tiled(self, image_rgb, key, img_ctx, degra_ctx):
+        """Overlap-tiled sampling with feathered blending for high-res inputs
+        (the TPU answer to Wild-IR's full-image processing — SURVEY.md §5
+        'long-context')."""
+        H, W = image_rgb.shape[:2]
+        ts, ov = self.cfg.tile_size, self.cfg.tile_overlap
+        stride = ts - ov
+        acc = np.zeros((H, W, 3), np.float64)
+        wacc = np.zeros((H, W, 1), np.float64)
+        ramp = np.minimum(np.arange(1, ts + 1), ov) / ov
+        win2d = np.minimum.outer(np.minimum(ramp, ramp[::-1]),
+                                 np.minimum(ramp, ramp[::-1]))[..., None]
+        ys = list(range(0, max(H - ts, 0) + 1, stride)) or [0]
+        xs = list(range(0, max(W - ts, 0) + 1, stride)) or [0]
+        if ys[-1] + ts < H:
+            ys.append(H - ts)
+        if xs[-1] + ts < W:
+            xs.append(W - ts)
+        for yi in ys:
+            for xi in xs:
+                tile = image_rgb[yi: yi + ts, xi: xi + ts]
+                th, tw = tile.shape[:2]
+                pt = np.pad(tile, ((0, ts - th), (0, ts - tw), (0, 0)),
+                            mode="reflect") if (th < ts or tw < ts) else tile
+                k = jax.random.fold_in(key, yi * W + xi)
+                out = np.asarray(self._sample(jnp.asarray(pt[None], jnp.float32),
+                                              k, degra_ctx, img_ctx))[0]
+                w = win2d[:th, :tw]
+                acc[yi: yi + th, xi: xi + tw] += out[:th, :tw] * w
+                wacc[yi: yi + th, xi: xi + tw] += w
+        return acc / np.maximum(wacc, 1e-8)
+
+    def classify_degradation(self, image_rgb: np.ndarray, class_names=None):
+        """Zero-shot degradation classification from degra features — the
+        evaluate_daclip.py:63-104 flow; returns (best_name, probs dict)."""
+        from daclip_tpu.tokenizer import tokenize
+
+        class_names = class_names or DEGRADATION_CLASSES
+        img_ctx, degra_ctx = self._encode(
+            jnp.asarray(clip_transform(image_rgb)[None]))
+        toks = jnp.asarray(tokenize(list(class_names)))
+        text_f = self.daclip.apply({"params": self.daclip_params}, toks,
+                                   normalize=True, method=self.daclip.encode_text)
+        sims = jnp.einsum("d,kd->k", degra_ctx[0] /
+                          jnp.linalg.norm(degra_ctx[0]), text_f)
+        probs = jax.nn.softmax(100.0 * sims)
+        order = np.argsort(-np.asarray(probs))
+        return class_names[int(order[0])], {
+            class_names[i]: float(probs[i]) for i in order}
+
+
+# 10 distortion types of the universal-ir model (options/train.yml:5)
+DEGRADATION_CLASSES = ["motion-blurry", "hazy", "jpeg-compressed", "low-light",
+                       "noisy", "raindrop", "rainy", "shadowed", "snowy",
+                       "uncompleted"]
