@@ -409,6 +409,40 @@ def degrade(img, deg_type: str, param: float = 15, rng=None):
     raise ValueError(f"unknown degradation {deg_type!r}")
 
 
+# -- dimension matching (deg_util.py:1032-1115) -------------------------------------
+
+def pad_edges(data, dim):
+    dh = max(dim[0] - data.shape[0], 0)
+    dw = max(dim[1] - data.shape[1], 0)
+    pads = ((dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2))
+    if data.ndim == 3:
+        pads = pads + ((0, 0),)
+    return np.pad(data, pads, mode="reflect")
+
+
+def center_crop(data, dim):
+    t = max((data.shape[0] - dim[0]) // 2, 0)
+    l = max((data.shape[1] - dim[1]) // 2, 0)
+    return data[t: t + dim[0], l: l + dim[1]]
+
+
+def random_crop_np(data, dim, rng=None):
+    rng = rng or random
+    t = rng.randint(0, max(data.shape[0] - dim[0], 0))
+    l = rng.randint(0, max(data.shape[1] - dim[1], 0))
+    return data[t: t + dim[0], l: l + dim[1]]
+
+
+def match_dim(data, dim, crop_mode: str = "random", rng=None):
+    """Crop/pad to (H, W) without resampling (deg_util.py:1032-1053)."""
+    if data.shape[0] < dim[0] or data.shape[1] < dim[1]:
+        data = pad_edges(data, dim[:2])
+    if data.shape[0] > dim[0] or data.shape[1] > dim[1]:
+        data = (random_crop_np(data, dim, rng) if crop_mode == "random"
+                else center_crop(data, dim[:2]))
+    return data
+
+
 # -- filters -----------------------------------------------------------------------
 
 def usm_sharp(img, weight=0.5, radius=50, threshold=10):

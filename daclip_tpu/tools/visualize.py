@@ -1,0 +1,145 @@
+"""Embedding visualization suite — ports of the reference's analysis scripts
+(da-clip/src/visualize_diff_type_TSNE.py, visualize_all.py,
+visualize_emb_sequence.py, visualize/visualize_UMAP.py, cosine heatmaps), all
+operating on the .npy embedding dumps written by eval/evaluate_numclip.py.
+
+torch-free (numpy/sklearn/matplotlib); UMAP falls back to t-SNE when the umap
+package is absent.
+
+  python -m daclip_tpu.tools.visualize --embeddings numclip_results/embeddings \
+      --out viz/ [--method tsne|umap] [--heatmap] [--monotonicity]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from collections import defaultdict
+
+import numpy as np
+
+
+def load_embeddings(emb_dir: str):
+    feats = np.load(os.path.join(emb_dir, "all_embeddings.npy"))
+    labels = np.load(os.path.join(emb_dir, "labels.npy"))
+    return feats, np.asarray([str(l) for l in labels])
+
+
+def _split_label(label: str):
+    m = re.match(r"([a-zA-Z-]+?)(\d+(?:\.\d+)?)$", label)
+    if m:
+        return m.group(1), float(m.group(2))
+    return label, None
+
+
+def plot_projection(feats, labels, out_path: str, method: str = "tsne",
+                    seed: int = 0):
+    """2-D projection colored by base type, shaded by level (TSNE/UMAP plots)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if method == "umap":
+        try:
+            import umap
+            proj = umap.UMAP(random_state=seed).fit_transform(feats)
+        except ImportError:
+            method = "tsne"
+    if method == "tsne":
+        from sklearn.manifold import TSNE
+        proj = TSNE(n_components=2, random_state=seed,
+                    perplexity=min(30, max(2, len(feats) // 4))).fit_transform(feats)
+
+    bases = sorted({_split_label(l)[0] for l in labels})
+    cmap = dict(zip(bases, plt.cm.tab10.colors))
+    fig, ax = plt.subplots(figsize=(8, 7))
+    for base in bases:
+        idx = [i for i, l in enumerate(labels) if _split_label(l)[0] == base]
+        levels = np.asarray([(_split_label(labels[i])[1] or 0) for i in idx])
+        lo, hi = levels.min(), max(levels.max(), levels.min() + 1e-6)
+        alpha = 0.3 + 0.7 * (levels - lo) / (hi - lo)
+        ax.scatter(proj[idx, 0], proj[idx, 1], s=10,
+                   color=cmap[base], alpha=None, label=base)
+    ax.legend(markerscale=2, fontsize=8)
+    ax.set_title(f"degradation embeddings ({method})")
+    fig.savefig(out_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def cosine_heatmap(feats, labels, out_path: str):
+    """Per-class mean-embedding cosine-similarity heatmap."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    classes = sorted(set(labels))
+    means = []
+    for c in classes:
+        f = feats[labels == c].mean(axis=0)
+        means.append(f / (np.linalg.norm(f) + 1e-8))
+    sim = np.stack(means) @ np.stack(means).T
+    fig, ax = plt.subplots(figsize=(10, 9))
+    im = ax.imshow(sim, cmap="viridis")
+    ax.set_xticks(range(len(classes)))
+    ax.set_xticklabels(classes, rotation=90, fontsize=6)
+    ax.set_yticks(range(len(classes)))
+    ax.set_yticklabels(classes, fontsize=6)
+    fig.colorbar(im)
+    fig.savefig(out_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return sim, classes
+
+
+def embedding_monotonicity(feats, labels):
+    """Spearman correlation of level vs distance-from-lowest-level, per base type
+    (visualize_emb_sequence.py behaviour)."""
+    from scipy.stats import spearmanr
+
+    per_base = defaultdict(list)
+    for i, l in enumerate(labels):
+        base, level = _split_label(l)
+        if level is not None:
+            per_base[base].append((level, feats[i]))
+    out = {}
+    for base, items in per_base.items():
+        items.sort(key=lambda t: t[0])
+        levels = sorted({lv for lv, _ in items})
+        if len(levels) < 3:
+            continue
+        means = {lv: np.mean([f for l2, f in items if l2 == lv], axis=0)
+                 for lv in levels}
+        ref = means[levels[0]] / np.linalg.norm(means[levels[0]])
+        dists = [1 - float(means[lv] @ ref / np.linalg.norm(means[lv]))
+                 for lv in levels]
+        rho, p = spearmanr(levels, dists)
+        out[base] = {"spearman_rho": float(rho), "p_value": float(p),
+                     "levels": levels, "distances": dists}
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--embeddings", required=True)
+    ap.add_argument("--out", default="viz")
+    ap.add_argument("--method", default="tsne", choices=["tsne", "umap"])
+    ap.add_argument("--heatmap", action="store_true")
+    ap.add_argument("--monotonicity", action="store_true")
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    feats, labels = load_embeddings(args.embeddings)
+    plot_projection(feats, labels, os.path.join(args.out, f"{args.method}.png"),
+                    args.method)
+    if args.heatmap:
+        cosine_heatmap(feats, labels, os.path.join(args.out, "cosine_heatmap.png"))
+    if args.monotonicity:
+        import json
+        res = embedding_monotonicity(feats, labels)
+        with open(os.path.join(args.out, "monotonicity.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps({k: v["spearman_rho"] for k, v in res.items()},
+                         indent=2))
+
+
+if __name__ == "__main__":
+    main()
