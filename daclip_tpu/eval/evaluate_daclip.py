@@ -26,7 +26,9 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     import jax.numpy as jnp
 
     from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
-    from daclip_tpu.tokenizer import tokenize
+    from functools import partial
+
+    from daclip_tpu.tokenizer import tokenize as _tokenize
     from daclip_tpu.transforms import clip_transform
     from daclip_tpu.utils.torch_convert import (convert_daclip,
                                                 load_torch_state_dict)
@@ -38,6 +40,7 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     base_classes = sorted(set(base_class_map.values()))
 
     cfg = CLIPCfg.from_dict(get_model_config(model_name))
+    tokenize = partial(_tokenize, context_length=cfg.text.context_length)
     model = DaCLIP(cfg, dtype=jnp.bfloat16)
     params = {"params": convert_daclip(load_torch_state_dict(checkpoint_path))}
 

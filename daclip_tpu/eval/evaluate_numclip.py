@@ -42,7 +42,9 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
 
     from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
     from daclip_tpu.models.clip import MultiTypeDegradationPredictor
-    from daclip_tpu.tokenizer import tokenize
+    from functools import partial
+
+    from daclip_tpu.tokenizer import tokenize as _tokenize
     from daclip_tpu.transforms import clip_transform
     from daclip_tpu.data.util import read_img
     from daclip_tpu.utils.torch_convert import (convert_daclip,
@@ -54,6 +56,7 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     base_classes = sorted(set(base_class_map.values()))
 
     cfg = CLIPCfg.from_dict(get_model_config(model_name))
+    tokenize = partial(_tokenize, context_length=cfg.text.context_length)
     model = DaCLIP(cfg, use_predictor=True, dtype=jnp.bfloat16)
     params_tree = convert_daclip(load_torch_state_dict(checkpoint_path))
     params = {"params": params_tree}

@@ -66,8 +66,10 @@ class MultiheadAttention(nn.Module):
         q = q.reshape(B, N, H, hd)
         k = k.reshape(B, N, H, hd)
         v = v.reshape(B, N, H, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+        # NOTE: no preferred_element_type here — on TPU, forcing an f32 output
+        # from bf16 matmul inputs selects a several-x slower path; the MXU
+        # accumulates in f32 internally either way.  Softmax runs in f32.
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         logits = logits * (hd ** -0.5)
         if mask is not None:
             logits = logits + mask.astype(jnp.float32)

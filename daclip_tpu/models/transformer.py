@@ -144,8 +144,7 @@ class VisionTransformer(nn.Module):
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(B, n, p * p * 3)
         kernel = self.param("conv1", nn.initializers.normal(self.width ** -0.5),
                             (p * p * 3, self.width), jnp.float32)
-        h = jnp.dot(patches.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32).astype(self.dtype)
+        h = jnp.dot(patches.astype(self.dtype), kernel.astype(self.dtype))
 
         cls = self.param("class_embedding",
                          nn.initializers.normal(self.width ** -0.5),
@@ -174,8 +173,7 @@ class VisionTransformer(nn.Module):
         pooled = LayerNorm(dtype=self.dtype, name="ln_post")(pooled)
         proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
                           (self.width, self.output_dim), jnp.float32)
-        pooled = jnp.dot(pooled, proj.astype(pooled.dtype),
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        pooled = jnp.dot(pooled, proj.astype(pooled.dtype))
         if output_hiddens:
             return pooled, hiddens
         return pooled
@@ -216,5 +214,4 @@ class TextTransformer(nn.Module):
         proj = self.param("text_projection",
                           nn.initializers.normal(self.width ** -0.5),
                           (self.width, self.output_dim), jnp.float32)
-        return jnp.dot(pooled, proj.astype(pooled.dtype),
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+        return jnp.dot(pooled, proj.astype(pooled.dtype))

@@ -110,14 +110,34 @@ class LinearAttention(nn.Module):
         n = H * W
         hidden = self.heads * self.dim_head
         qkv = conv(hidden * 3, 1, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(B, n, 3, self.heads, self.dim_head).astype(jnp.float32)
+        qkv = qkv.reshape(B, n, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, n, h, d)
-        q = jax.nn.softmax(q, axis=-1)            # softmax over d (ref dim=-2)
-        k = jax.nn.softmax(k, axis=1)             # softmax over n (ref dim=-1)
-        q = q * (self.dim_head ** -0.5)
-        v = v / n
-        ctx = jnp.einsum("bnhd,bnhe->bhde", k, v)  # (B, h, d, e)
-        out = jnp.einsum("bhde,bnhd->bnhe", ctx, q)
+
+        # Bandwidth- and MXU-lean evaluation of the reference math.  Big
+        # (n-sized) tensors stay bf16 and stream once per use; the k-softmax
+        # normalisation over n and the 1/n on v fold into the tiny per-head
+        # context; and instead of 32x32 per-head GEMMs (6% MXU tile use) both
+        # contractions run at the full (heads*dim_head)=128 width with the
+        # cross-head blocks masked out of the context matrix — identical math:
+        # exactly softmax(q,d)·scale ∘ [softmax(k,n) @ (v/n)].
+        q32 = q.astype(jnp.float32)
+        q_soft = jax.nn.softmax(q32, axis=-1).astype(self.dtype)
+
+        k32 = k.astype(jnp.float32)
+        k_max = jnp.max(k32, axis=1, keepdims=True)              # (B,1,h,d)
+        k_exp = jnp.exp(k32 - k_max).astype(self.dtype)          # (B,n,h,d) bf16
+        k_sum = jnp.sum(k_exp.astype(jnp.float32), axis=1)       # (B,h,d)
+
+        kf = k_exp.reshape(B, n, hidden)
+        vf = v.reshape(B, n, hidden).astype(self.dtype)
+        ctx_big = jnp.einsum("bnx,bny->bxy", kf, vf).astype(jnp.float32)
+        rowscale = ((self.dim_head ** -0.5)
+                    / (k_sum.reshape(B, hidden) * n))[..., None]
+        blockdiag = jnp.kron(jnp.eye(self.heads, dtype=jnp.float32),
+                             jnp.ones((self.dim_head, self.dim_head),
+                                      jnp.float32))
+        ctx_w = (ctx_big * rowscale * blockdiag).astype(self.dtype)
+        out = jnp.einsum("bnx,bxy->bny", q_soft.reshape(B, n, hidden), ctx_w)
         out = out.reshape(B, H, W, hidden).astype(x.dtype)
         out = conv(C, 1, use_bias=True, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")(out)
@@ -151,8 +171,7 @@ class CrossAttention(nn.Module):
             q = q.reshape(B, N, self.heads, self.dim_head)
             k = k.reshape(B, -1, self.heads, self.dim_head)
             v = v.reshape(B, -1, self.heads, self.dim_head)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             attn = jax.nn.softmax(logits * (self.dim_head ** -0.5), axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
             out = out.reshape(B, N, inner)

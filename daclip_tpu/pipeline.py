@@ -132,7 +132,7 @@ class DACLIPRestorer:
 
     def contexts(self, image_rgb: np.ndarray):
         """CLIP contexts from the LQ image ([0,1] float RGB HWC)."""
-        view = clip_transform(image_rgb)[None]
+        view = clip_transform(image_rgb, self.daclip.cfg.vision.image_size)[None]
         img_ctx, degra_ctx = self._encode(jnp.asarray(view))
         if not self.cfg.use_image_context:
             img_ctx = None
@@ -200,8 +200,11 @@ class DACLIPRestorer:
 
         class_names = class_names or DEGRADATION_CLASSES
         img_ctx, degra_ctx = self._encode(
-            jnp.asarray(clip_transform(image_rgb)[None]))
-        toks = jnp.asarray(tokenize(list(class_names)))
+            jnp.asarray(clip_transform(image_rgb,
+                                       self.daclip.cfg.vision.image_size)[None]))
+        toks = jnp.asarray(tokenize(
+            list(class_names),
+            context_length=self.daclip.cfg.text.context_length))
         text_f = self.daclip.apply({"params": self.daclip_params}, toks,
                                    normalize=True, method=self.daclip.encode_text)
         sims = jnp.einsum("d,kd->k", degra_ctx[0] /

@@ -1,0 +1,127 @@
+"""Eval module tests: retrieval metrics, zero-shot classifier, and an end-to-end
+evaluate_daclip/numclip run on a tiny torch-built checkpoint (reference-only)."""
+import os
+
+import numpy as np
+import pytest
+
+from daclip_tpu.eval.retrieval import get_clip_metrics
+from daclip_tpu.eval.zero_shot import (accuracy, build_zero_shot_classifier,
+                                       load_imagenet_metadata)
+from tests.conftest import requires_reference
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_retrieval_metrics_perfect():
+    f = np.eye(8, 16, dtype=np.float32)
+    m = get_clip_metrics(f, f, 100.0)
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["text_to_image_mean_rank"] == 1.0
+    shuffled = np.roll(f, 1, axis=0)
+    m2 = get_clip_metrics(f, shuffled, 100.0)
+    assert m2["image_to_text_R@1"] == 0.0
+
+
+def test_zero_shot_metadata_and_classifier():
+    names, templates = load_imagenet_metadata()
+    assert len(names) == 1000 and len(templates) == 80
+    assert any("photo" in t for t in templates)
+
+    import jax.numpy as jnp
+
+    def fake_encode(toks):  # deterministic fake text encoder
+        s = jnp.sum(toks, axis=-1, keepdims=True).astype(jnp.float32)
+        out = jnp.concatenate([jnp.cos(s * 0.01), jnp.sin(s * 0.01)], axis=-1)
+        return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+    from daclip_tpu.tokenizer import tokenize
+    w = build_zero_shot_classifier(fake_encode, tokenize, ["cat", "dog", "fish"],
+                                   ["a photo of a {}", "an image of a {}"],
+                                   num_classes_per_batch=2)
+    assert w.shape == (2, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(w), axis=0), 1.0,
+                               rtol=1e-5)
+
+
+def test_accuracy_topk():
+    logits = np.asarray([[0.9, 0.05, 0.05], [0.1, 0.2, 0.7], [0.4, 0.5, 0.1]])
+    target = np.asarray([0, 2, 0])
+    top1, top2 = accuracy(logits, target, topk=(1, 2))
+    assert top1 == pytest.approx(2 / 3)
+    assert top2 == pytest.approx(1.0)
+
+
+@requires_reference
+def test_evaluate_daclip_end_to_end(tmp_path):
+    """Build a tiny torch DaCLIP, save a checkpoint, run our eval CLI over a tiny
+    degradation-class dataset tree — exercises checkpoint conversion + the full
+    classification flow."""
+    import torch
+    torch.manual_seed(0)
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    from tests.parity.refload import load_ref_openclip_pkg
+    pkg = load_ref_openclip_pkg("uir")
+    tclip = pkg.model.CLIP(
+        embed_dim=32,
+        vision_cfg=dict(image_size=32, patch_size=16, width=64, layers=2,
+                        head_width=32),
+        text_cfg=dict(context_length=16, vocab_size=49408, width=32, heads=2,
+                      layers=2))
+    tda = pkg.daclip_model.DaCLIP(tclip)
+    tda.initial_controller()
+    ckpt = tmp_path / "tiny_daclip.pt"
+    torch.save({"state_dict": tda.state_dict()}, str(ckpt))
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "ds"
+    for cname in ["noisy25", "blur10"]:
+        d = root / cname / "LQ"
+        d.mkdir(parents=True)
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i}.png"),
+                        (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+
+    from daclip_tpu.eval.evaluate_daclip import evaluate_checkpoint
+    res = evaluate_checkpoint(str(ckpt), str(root), model_name="daclip_test-tiny",
+                              batch_size=2, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["accuracy"] <= 1.0
+    assert (tmp_path / "out" / "per_class_accuracy.csv").exists()
+    assert (tmp_path / "out" / "confusion_matrix.csv").exists()
+
+
+@requires_reference
+def test_evaluate_numclip_end_to_end(tmp_path):
+    import torch
+    torch.manual_seed(0)
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    from tests.parity.refload import load_ref_openclip_pkg
+    pkg = load_ref_openclip_pkg("daclip")   # fork copy: has predictor
+    tclip = pkg.model.CLIP(
+        embed_dim=32,
+        vision_cfg=dict(image_size=32, patch_size=16, width=64, layers=2,
+                        head_width=32),
+        text_cfg=dict(context_length=16, vocab_size=49408, width=32, heads=2,
+                      layers=2))
+    tda = pkg.daclip_model.DaCLIP(tclip)
+    tda.initial_controller()
+    ckpt = tmp_path / "tiny_numclip.pt"
+    torch.save({"state_dict": tda.state_dict()}, str(ckpt))
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "ds"
+    for cname in ["noisy25", "jpeg30"]:
+        d = root / cname / "LQ"
+        d.mkdir(parents=True)
+        for i in range(2):
+            cv2.imwrite(str(d / f"{i}.png"),
+                        (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+
+    from daclip_tpu.eval.evaluate_numclip import evaluate_checkpoint
+    res = evaluate_checkpoint(str(ckpt), str(root), model_name="daclip_test-tiny",
+                              batch_size=2, out_dir=str(tmp_path / "out"))
+    assert "regression_mae" in res
+    emb = tmp_path / "out" / "embeddings" / "all_embeddings.npy"
+    assert emb.exists()
+    feats = np.load(emb)
+    assert feats.shape == (4, 32)

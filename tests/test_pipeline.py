@@ -1,0 +1,61 @@
+"""Pipeline tests: shape-bucket restore, tiled high-res restore, degradation
+classification — tiny config, random weights, CPU."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from daclip_tpu.models import CLIPCfg, DaCLIP, TextCfg, VisionCfg
+from daclip_tpu.models.unet import ConditionalUNet
+from daclip_tpu.pipeline import DACLIPRestorer, RestorerConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_restorer():
+    cfg = RestorerConfig(model_name="daclip_test-tiny", nf=16, ch_mult=(1, 2),
+                         context_dim=32, T=4, buckets_step=16, tile_size=64,
+                         tile_overlap=16, dtype="float32")
+    clip_cfg = CLIPCfg.from_dict({"embed_dim": 32,
+                                  "vision_cfg": {"image_size": 32, "layers": 2,
+                                                 "width": 64, "patch_size": 16,
+                                                 "head_width": 32},
+                                  "text_cfg": {"context_length": 16,
+                                               "vocab_size": 49408, "width": 32,
+                                               "heads": 2, "layers": 2}})
+    daclip = DaCLIP(clip_cfg)
+    img = jnp.zeros((1, 32, 32, 3))
+    dparams = daclip.init(jax.random.PRNGKey(0), image=img,
+                          text=jnp.zeros((1, 32), jnp.int32))["params"]
+    unet = ConditionalUNet(nf=16, ch_mult=(1, 2), context_dim=32,
+                           use_degra_context=True, use_image_context=True)
+    x0 = jnp.zeros((1, 16, 16, 3))
+    uparams = unet.init(jax.random.PRNGKey(1), x0, x0, jnp.ones((1,)),
+                        jnp.zeros((1, 32)), jnp.zeros((1, 32)))["params"]
+
+    # tiny model: CLIP view must be 32px not 224 — monkeypatch via cfg override
+    r = DACLIPRestorer(cfg, uparams, dparams)
+    return r
+
+
+def test_restore_bucketed(tiny_restorer):
+    img = np.random.RandomState(0).rand(30, 45, 3).astype(np.float32)
+    out = tiny_restorer.restore(img, seed=0)
+    assert out.shape == (30, 45, 3)
+    assert out.dtype == np.uint8
+
+
+def test_restore_tiled_highres(tiny_restorer):
+    img = np.random.RandomState(1).rand(100, 80, 3).astype(np.float32)
+    out = tiny_restorer.restore(img, seed=0, return_uint8=False)
+    assert out.shape == (100, 80, 3)
+    assert np.isfinite(out).all()
+    assert 0 <= out.min() and out.max() <= 1
+
+
+def test_classify_degradation(tiny_restorer):
+    img = np.random.RandomState(2).rand(40, 40, 3).astype(np.float32)
+    name, probs = tiny_restorer.classify_degradation(img, class_names=["noisy",
+                                                                       "rainy"])
+    assert name in ("noisy", "rainy")
+    assert abs(sum(probs.values()) - 1.0) < 1e-3
