@@ -38,7 +38,11 @@ def main(argv=None):
     opt = cfg_mod.parse(args.opt, is_train=False)
     sde_opt = opt["sde"] or {}
     net_opt = (opt["network_G"] or {}).get("setting", {}) or {}
+    cdim = net_opt.get("context_dim", 512) or 512
     rcfg = RestorerConfig(
+        model_name=(opt["path"] or {}).get("daclip_model")
+        or ("daclip_ViT-L-14" if cdim == 768 else "daclip_ViT-B-32"),
+        scale=float(net_opt.get("scale", 1.0) or 1.0),
         nf=net_opt.get("nf", 64),
         ch_mult=tuple(net_opt.get("ch_mult", (1, 2, 4, 8))),
         context_dim=net_opt.get("context_dim", 512),

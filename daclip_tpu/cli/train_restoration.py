@@ -114,7 +114,13 @@ def main(argv=None):
     if use_ctx and daclip_path and os.path.exists(str(daclip_path)):
         from daclip_tpu.utils.torch_convert import (convert_daclip,
                                                     load_torch_state_dict)
-        clip_cfg = CLIPCfg.from_dict(get_model_config("daclip_ViT-B-32"))
+        # wild-ir uses ViT-L-14 contexts (768-d); inferred from context_dim or
+        # set explicitly via path.daclip_model (config/wild-ir/options parity)
+        daclip_model = ((opt["path"] or {}).get("daclip_model")
+                        or ("daclip_ViT-L-14"
+                            if (net_opt.get("context_dim") or 512) == 768
+                            else "daclip_ViT-B-32"))
+        clip_cfg = CLIPCfg.from_dict(get_model_config(daclip_model))
         daclip = DaCLIP(clip_cfg, dtype=jnp.bfloat16)
         daclip_params = jax.tree.map(
             jnp.asarray, convert_daclip(load_torch_state_dict(str(daclip_path))))
