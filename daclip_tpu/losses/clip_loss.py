@@ -105,6 +105,49 @@ def fcrc_loss(image_degra_features, all_d_type_tokens_features, gt_val,
     return jnp.where(m.sum() > 0, (loss_i * m).sum() / denom, 0.0)
 
 
+def distill_clip_loss(image_features, text_features, logit_scale,
+                      dist_image_features, dist_text_features, dist_logit_scale,
+                      output_dict: bool = True):
+    """DistillClipLoss (open_clip/loss.py:397-433): contrastive + teacher-student
+    soft-label cross-entropy in both directions."""
+    def logits(img, txt, scale):
+        return scale * jnp.einsum("id,jd->ij", img, txt,
+                                  preferred_element_type=jnp.float32)
+
+    def dist(teacher, student):
+        t = jax.nn.softmax(teacher, axis=1)
+        s = jax.nn.log_softmax(student, axis=1)
+        return -(t * s).sum(axis=1).mean()
+
+    lpi = logits(image_features, text_features, logit_scale)
+    dpi = logits(dist_image_features, dist_text_features, dist_logit_scale)
+    labels = jnp.arange(lpi.shape[0])
+    contrastive = 0.5 * (_xent(lpi, labels) + _xent(lpi.T, labels))
+    distill = 0.5 * (dist(dpi, lpi) + dist(dpi.T, lpi.T))
+    if output_dict:
+        return {"contrastive_loss": contrastive, "distill_loss": distill}
+    return contrastive, distill
+
+
+def coca_loss(image_features, text_features, logits, labels, logit_scale,
+              caption_loss_weight: float = 2.0, clip_loss_weight: float = 1.0,
+              pad_id: int = 0, output_dict: bool = True):
+    """CoCaLoss (open_clip/loss.py:135-178): weighted clip loss + caption CE with
+    pad-token masking.  (The CoCa model itself is out of the DA-CLIP/IR path —
+    SURVEY.md §2.1 'alt towers'; the loss is provided for API completeness.)"""
+    c = 0.0
+    if clip_loss_weight:
+        c = clip_loss_weight * clip_loss(image_features, text_features,
+                                         logit_scale)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != pad_id).astype(jnp.float32)
+    caption = caption_loss_weight * (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+    if output_dict:
+        return {"contrastive_loss": c, "caption_loss": caption}
+    return c, caption
+
+
 def daclip_loss_fork(out: Dict, l1_loss_weight: float = 0.1,
                      temperature: float = 0.07, output_dict: bool = True):
     """Fork DaClipLoss: clip + 0.1·L1(img, gt_img) + masked regression MSE + FCRC

@@ -296,6 +296,9 @@ class ConditionalUNet(nn.Module):
     # use_image_context; the daclip-sde reference hardcodes `i < 3` (arch :79-80),
     # wild-ir uses `i < depth-1` (its arch :83-84) — pass depth-1 for wild-ir.
     spatial_attn_min_level: int = 3
+    # rematerialize block activations in the backward pass (the reference's
+    # gradient checkpointing, module_util.py:300-346) — training memory knob
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -307,6 +310,9 @@ class ConditionalUNet(nn.Module):
 
         if jnp.ndim(time) == 0:
             time = jnp.full((xt.shape[0],), time, dtype=jnp.float32)
+
+        RB = nn.remat(ResBlock, prevent_cse=False) if self.remat else ResBlock
+        AW = nn.remat(AttnWrap, prevent_cse=False) if self.remat else AttnWrap
 
         x = jnp.concatenate([xt - cond, cond], axis=-1).astype(self.dtype)
 
@@ -356,11 +362,11 @@ class ConditionalUNet(nn.Module):
             dim_in, dim_out = nf * ch[i], nf * ch[i + 1]
             spatial = (self.use_image_context and cdim > 0
                        and i >= self.spatial_attn_min_level)
-            x = ResBlock(dim_in, dtype=self.dtype, name=f"down{i}_block1")(x, t)
+            x = RB(dim_in, dtype=self.dtype, name=f"down{i}_block1")(x, t)
             hs.append(x)
-            x = ResBlock(dim_in, dtype=self.dtype, name=f"down{i}_block2")(x, t)
-            x = AttnWrap(spatial, heads=dim_in // 32, context_dim=cdim,
-                         dtype=self.dtype, name=f"down{i}_attn")(
+            x = RB(dim_in, dtype=self.dtype, name=f"down{i}_block2")(x, t)
+            x = AW(spatial, heads=dim_in // 32, context_dim=cdim,
+                   dtype=self.dtype, name=f"down{i}_attn")(
                 x, context=image_context)
             hs.append(x)
             if i != depth - 1:
@@ -372,21 +378,21 @@ class ConditionalUNet(nn.Module):
 
         mid = nf * ch[-1]
         spatial_mid = self.use_image_context and cdim > 0
-        x = ResBlock(mid, dtype=self.dtype, name="mid_block1")(x, t)
-        x = AttnWrap(spatial_mid, heads=mid // 32, context_dim=cdim,
-                     dtype=self.dtype, name="mid_attn")(x, context=image_context)
-        x = ResBlock(mid, dtype=self.dtype, name="mid_block2")(x, t)
+        x = RB(mid, dtype=self.dtype, name="mid_block1")(x, t)
+        x = AW(spatial_mid, heads=mid // 32, context_dim=cdim,
+               dtype=self.dtype, name="mid_attn")(x, context=image_context)
+        x = RB(mid, dtype=self.dtype, name="mid_block2")(x, t)
 
         for i in reversed(range(depth)):
             dim_in, dim_out = nf * ch[i], nf * ch[i + 1]
             spatial = (self.use_image_context and cdim > 0
                        and i >= self.spatial_attn_min_level)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResBlock(dim_out, dtype=self.dtype, name=f"up{i}_block1")(x, t)
+            x = RB(dim_out, dtype=self.dtype, name=f"up{i}_block1")(x, t)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResBlock(dim_out, dtype=self.dtype, name=f"up{i}_block2")(x, t)
-            x = AttnWrap(spatial, heads=dim_out // 32, context_dim=cdim,
-                         dtype=self.dtype, name=f"up{i}_attn")(
+            x = RB(dim_out, dtype=self.dtype, name=f"up{i}_block2")(x, t)
+            x = AW(spatial, heads=dim_out // 32, context_dim=cdim,
+                   dtype=self.dtype, name=f"up{i}_attn")(
                 x, context=image_context)
             if i != 0:
                 x = Upsample2x(dim_in, dtype=self.dtype, name=f"up{i}_upsample")(x)
@@ -397,7 +403,7 @@ class ConditionalUNet(nn.Module):
             x = Upsample2x(nf, dtype=self.dtype, name="post_up")(x)
 
         x = jnp.concatenate([x, x_skip], axis=-1)
-        x = ResBlock(nf, dtype=self.dtype, name="final_res_block")(x, t)
+        x = RB(nf, dtype=self.dtype, name="final_res_block")(x, t)
         x = nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32, name="final_conv")(x)
         return x[:, :Hh, :Ww, :].astype(jnp.float32)
