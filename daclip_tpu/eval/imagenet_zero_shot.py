@@ -1,0 +1,91 @@
+"""ImageNet zero-shot evaluation CLI — training/zero_shot.py:18-84 parity.
+
+Expects an ImageNet-style directory tree (<root>/<class_dir>/*.jpg) with class
+dirs in sorted order mapping to the 1000 vendored classnames (or a custom
+--classnames json list).
+
+  python -m daclip_tpu.eval.imagenet_zero_shot --dataset val/ \
+      --checkpoint pretrained/daclip_ViT-B-32.pt
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def evaluate(checkpoint: str, dataset: str, model_name: str = "daclip_ViT-B-32",
+             batch_size: int = 64, max_per_class=None, classnames=None):
+    import jax
+    import jax.numpy as jnp
+
+    from daclip_tpu.eval.zero_shot import (accuracy, build_zero_shot_classifier,
+                                           load_imagenet_metadata)
+    from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
+    from daclip_tpu.tokenizer import tokenize
+    from daclip_tpu.transforms import clip_transform
+    from daclip_tpu.data.util import read_img
+    from daclip_tpu.utils.torch_convert import (convert_daclip, convert_clip,
+                                                load_torch_state_dict)
+
+    cfg = CLIPCfg.from_dict(get_model_config(model_name))
+    model = DaCLIP(cfg, dtype=jnp.bfloat16)
+    sd = load_torch_state_dict(checkpoint)
+    if any(k.startswith("clip.") for k in sd):
+        params = {"params": convert_daclip(sd)}
+    else:
+        init = model.init(jax.random.PRNGKey(0),
+                          image=jnp.zeros((1, cfg.vision.image_size,
+                                           cfg.vision.image_size, 3)))
+        p = dict(init["params"])
+        p["clip"] = convert_clip(sd)
+        params = {"params": p}
+
+    encode_text = jax.jit(lambda t: model.apply(params, t, normalize=True,
+                                                method=model.encode_text))
+    encode_image = jax.jit(lambda im: model.apply(params, im, normalize=True,
+                                                  method=model.encode_image))
+
+    meta_names, templates = load_imagenet_metadata()
+    dirs = sorted(d for d in os.listdir(dataset)
+                  if os.path.isdir(os.path.join(dataset, d)))
+    names = classnames or (meta_names if len(dirs) == 1000 else dirs)
+    classifier = build_zero_shot_classifier(encode_text, tokenize, names,
+                                            templates)   # (D, C)
+    classifier = np.asarray(classifier, np.float32)
+
+    res = int(cfg.vision.image_size)
+    logits_all, targets = [], []
+    for ci, d in enumerate(dirs):
+        files = sorted(os.listdir(os.path.join(dataset, d)))[:max_per_class]
+        for i in range(0, len(files), batch_size):
+            batch = [clip_transform(
+                read_img(None, os.path.join(dataset, d, f))[:, :, ::-1], res)
+                for f in files[i: i + batch_size]]
+            feats = np.asarray(encode_image(jnp.asarray(np.stack(batch))),
+                               np.float32)
+            logits_all.append(100.0 * feats @ classifier)
+            targets.extend([ci] * len(batch))
+    logits = np.concatenate(logits_all)
+    top1, top5 = accuracy(logits, np.asarray(targets), topk=(1, 5))
+    print(f"imagenet zero-shot: top1 {top1:.4f} top5 {top5:.4f} "
+          f"({len(targets)} images, {len(dirs)} classes)")
+    return {"imagenet-zeroshot-val-top1": top1,
+            "imagenet-zeroshot-val-top5": top5}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--model", default="daclip_ViT-B-32")
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--max-per-class", type=int, default=None)
+    args = ap.parse_args(argv)
+    evaluate(args.checkpoint, args.dataset, args.model, args.batch_size,
+             args.max_per_class)
+
+
+if __name__ == "__main__":
+    main()

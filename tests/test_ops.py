@@ -1,0 +1,48 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path exercised on TPU
+during benches)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_conv3x3_pallas_interpret_matches_lax():
+    from daclip_tpu.ops import conv3x3
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, O = 1, 8, 16, 64, 64
+    x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, C, O) * 0.05, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # run the same kernel math in interpret mode
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Cp = C  # already 64; interpret mode is relaxed about tiling
+    Wp = -(-(W + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + Wp - (W + 2)), (0, 0)))
+    got = pl.pallas_call(
+        functools.partial(conv3x3._kernel, TH=8, W=W, C=C, O=O),
+        grid=(B, H // 8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((3, 3, C, O), lambda b, h: (0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 8, W, O), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
+        scratch_shapes=[pltpu.VMEM((10, Wp, C), x.dtype),
+                        pltpu.SemaphoreType.DMA((1,))],
+        interpret=True,
+    )(xp, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_supported_gate(monkeypatch):
+    from daclip_tpu.ops import conv3x3_supported
+    assert not conv3x3_supported((1, 64, 64, 64), 64)  # opt-in env unset
+    monkeypatch.setenv("DACLIP_TPU_PALLAS_CONV", "1")
+    # cpu backend in tests -> still False
+    assert not conv3x3_supported((1, 64, 64, 64), 64)
