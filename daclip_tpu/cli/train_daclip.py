@@ -61,6 +61,7 @@ def parse_args(argv=None):
     p.add_argument("--name", default=None)
     p.add_argument("--save-frequency", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug-nans", action="store_true")
     return p.parse_args(argv)
 
 
@@ -83,6 +84,8 @@ def main(argv=None):
     from daclip_tpu.transforms import image_transform
     from daclip_tpu.utils.checkpoint import save_checkpoint
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     initialize_distributed()
     mesh = make_mesh_for_batch(args.batch_size)
     shard = NamedSharding(mesh, P("data"))
@@ -149,8 +152,42 @@ def main(argv=None):
 
     name = args.name or f"daclip_{time.strftime('%Y%m%d_%H%M%S')}"
     ckpt_dir = os.path.join(args.logs, name, "checkpoints")
+
+    # --resume latest (training/main.py:131-163 parity, local checkpoints)
+    start_epoch = 0
+    if args.resume:
+        from daclip_tpu.utils.checkpoint import latest_step, restore_checkpoint
+        rdir = ckpt_dir if args.resume == "latest" else args.resume
+        step = latest_step(rdir)
+        if step is not None:
+            restored = restore_checkpoint(rdir, step)
+            state = state._replace(params=jax.tree.map(
+                jnp.asarray, restored["params"]))
+            start_epoch = int(restored.get("epoch", step))
+            log.info("resumed from %s epoch %d", rdir, start_epoch)
+        elif args.resume != "latest":
+            raise FileNotFoundError(args.resume)
+
+    val_ds = None
+    if args.val_data:
+        from daclip_tpu.transforms import image_transform as _it
+        val_ds = CsvDataset(args.val_data, _it(clip_cfg.vision.image_size),
+                            args.csv_img_key, args.csv_caption_key,
+                            args.csv_separator, tokenizer=tokenizer, da=args.da)
+
+    def run_val(state):
+        """val losses + retrieval recall (training/train.py:248-381)."""
+        from daclip_tpu.eval.retrieval import evaluate as eval_retrieval
+        from daclip_tpu.train.clip_train import merge_params
+        params = {"params": merge_params(state.params, frozen)}
+        metrics = eval_retrieval(model.apply, params, val_ds,
+                                 batch_size=args.batch_size, banks=banks,
+                                 variant=cfg.variant)
+        log.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
     best_loss = float("inf")
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         losses = []
@@ -165,6 +202,8 @@ def main(argv=None):
                          epoch, i + 1, losses[-1], sps)
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
         log.info("epoch %d done: mean loss %.4f", epoch, epoch_loss)
+        if val_ds is not None:
+            run_val(state)
         if (epoch + 1) % args.save_frequency == 0:
             save_checkpoint(ckpt_dir, epoch + 1,
                             {"params": state.params, "frozen": frozen,

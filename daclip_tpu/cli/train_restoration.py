@@ -49,6 +49,8 @@ def main(argv=None):
                    help="override niter (smoke runs)")
     p.add_argument("--val-sample-T", type=int, default=-1,
                    help="shorter sampler for validation")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans (the reference's detect_anomaly analogue)")
     args = p.parse_args(argv)
 
     import jax
@@ -69,6 +71,8 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     log = logging.getLogger("train")
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     initialize_distributed()
     opt = cfg_mod.parse(args.opt, is_train=True)
     per_host_batch = (opt["datasets"]["train"].get("batch_size", 16))

@@ -31,13 +31,19 @@ class VisionCfg:
     image_size: int = 224
     patch_size: int = 32
     width: int = 768
-    layers: int = 12
+    layers: Any = 12            # int → ViT depth; tuple → ModifiedResNet stages
     head_width: int = 64
     mlp_ratio: float = 4.0
     global_average_pool: bool = False
 
     @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.layers, (tuple, list))
+
+    @property
     def heads(self) -> int:
+        if self.is_resnet:  # model.py:114: vision_heads = width*32 // head_width
+            return self.width * 32 // self.head_width
         return self.width // self.head_width
 
 
@@ -88,6 +94,18 @@ _MODEL_CONFIGS: Dict[str, Dict] = {
         "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 768,
                      "heads": 12, "layers": 12},
     },
+    "RN50": {
+        "embed_dim": 1024,
+        "vision_cfg": {"image_size": 224, "layers": [3, 4, 6, 3], "width": 64},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512,
+                     "heads": 8, "layers": 12},
+    },
+    "RN101": {
+        "embed_dim": 512,
+        "vision_cfg": {"image_size": 224, "layers": [3, 4, 23, 3], "width": 64},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512,
+                     "heads": 8, "layers": 12},
+    },
 }
 # tiny config for smoke tests / CI (not part of reference parity)
 _MODEL_CONFIGS["test-tiny"] = {
@@ -131,12 +149,19 @@ class CLIP(nn.Module):
 
     def setup(self):
         v = self.cfg.vision
-        self.visual = VisionTransformer(
-            image_size=v.image_size, patch_size=v.patch_size, width=v.width,
-            layers=v.layers, heads=v.heads, mlp_ratio=v.mlp_ratio,
-            output_dim=self.cfg.embed_dim, quick_gelu=self.cfg.quick_gelu,
-            global_average_pool=v.global_average_pool, remat=self.remat,
-            dtype=self.dtype)
+        if v.is_resnet:   # model.py:113-121: list layers → ModifiedResNet
+            from daclip_tpu.models.resnet import ModifiedResNet
+            self.visual = ModifiedResNet(
+                layers=tuple(v.layers), output_dim=self.cfg.embed_dim,
+                heads=v.heads, image_size=v.image_size, width=v.width,
+                dtype=self.dtype)
+        else:
+            self.visual = VisionTransformer(
+                image_size=v.image_size, patch_size=v.patch_size, width=v.width,
+                layers=v.layers, heads=v.heads, mlp_ratio=v.mlp_ratio,
+                output_dim=self.cfg.embed_dim, quick_gelu=self.cfg.quick_gelu,
+                global_average_pool=v.global_average_pool, remat=self.remat,
+                dtype=self.dtype)
         t = self.cfg.text
         self.text = TextTransformer(
             context_length=t.context_length, vocab_size=t.vocab_size,

@@ -145,13 +145,13 @@ class LinearAttention(nn.Module):
         # contractions run at the full (heads*dim_head)=128 width with the
         # cross-head blocks masked out of the context matrix — identical math:
         # exactly softmax(q,d)·scale ∘ [softmax(k,n) @ (v/n)].
-        q32 = q.astype(jnp.float32)
-        q_soft = jax.nn.softmax(q32, axis=-1).astype(self.dtype)
+        q_soft = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)
 
-        k32 = k.astype(jnp.float32)
-        k_max = jnp.max(k32, axis=1, keepdims=True)              # (B,1,h,d)
-        k_exp = jnp.exp(k32 - k_max).astype(self.dtype)          # (B,n,h,d) bf16
-        k_sum = jnp.sum(k_exp.astype(jnp.float32), axis=1)       # (B,h,d)
+        # max on bf16 is exact; the f32 upcast feeds exp as a single-use fused
+        # chain so no f32 copy of the n-sized tensor is materialized
+        k_max = jnp.max(k, axis=1, keepdims=True).astype(jnp.float32)
+        k_exp = jnp.exp(k.astype(jnp.float32) - k_max).astype(self.dtype)
+        k_sum = jnp.sum(k_exp, axis=1, dtype=jnp.float32)        # (B,h,d)
 
         kf = k_exp.reshape(B, n, hidden)
         vf = v.reshape(B, n, hidden).astype(self.dtype)

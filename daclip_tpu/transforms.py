@@ -102,6 +102,24 @@ def _random_resized_crop(im: Image.Image, size: int, scale=(0.9, 1.0),
                      box=(left, top, left + cw, top + ch))
 
 
+def resize_max_size(img, max_size: int = 224, fill_color=0,
+                    fn=min) -> np.ndarray:
+    """ResizeMaxSize (open_clip/transform.py:26-49): scale so the LONGEST side is
+    max_size, pad the rest with fill_color; returns uint8 HWC RGB."""
+    im = _to_pil(img).convert("RGB")
+    w, h = im.size
+    scale = max_size / float(max(h, w))
+    if scale != 1.0:
+        im = im.resize((max(1, int(round(w * scale))),
+                        max(1, int(round(h * scale)))), Image.BICUBIC)
+    w, h = im.size
+    canvas = Image.new("RGB", (max_size, max_size),
+                       tuple([fill_color] * 3) if np.isscalar(fill_color)
+                       else tuple(fill_color))
+    canvas.paste(im, ((max_size - w) // 2, (max_size - h) // 2))
+    return np.asarray(canvas)
+
+
 def image_transform(image_size: Union[int, Tuple[int, int]] = 224,
                     is_train: bool = False,
                     mean: Optional[Sequence[float]] = None,

@@ -110,6 +110,44 @@ def _convert_visual(sd: Dict[str, np.ndarray], prefix: str, layers: int,
     }
 
 
+def _bn(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"],
+            "mean": sd[f"{key}.running_mean"], "var": sd[f"{key}.running_var"]}
+
+
+def convert_resnet_visual(sd: Dict[str, np.ndarray], prefix: str = "visual",
+                          layers=(3, 4, 6, 3)) -> Dict:
+    """ModifiedResNet tower (modified_resnet.py:97-181) → our flax tree."""
+    p: Dict = {}
+    for i in range(1, 4):
+        p[f"stem_conv{i}"] = {"kernel": _conv(sd[f"{prefix}.conv{i}.weight"])}
+        p[f"stem_bn{i}"] = _bn(sd, f"{prefix}.bn{i}")
+    for li, blocks in enumerate(layers):
+        for bi in range(blocks):
+            b = f"{prefix}.layer{li + 1}.{bi}"
+            entry = {}
+            for ci in range(1, 4):
+                entry[f"conv{ci}"] = {"kernel": _conv(sd[f"{b}.conv{ci}.weight"])}
+                entry[f"bn{ci}"] = _bn(sd, f"{b}.bn{ci}")
+            if f"{b}.downsample.0.weight" in sd:
+                entry["down_conv"] = {"kernel": _conv(sd[f"{b}.downsample.0.weight"])}
+                entry["down_bn"] = _bn(sd, f"{b}.downsample.1")
+            p[f"layer{li + 1}_{bi}"] = entry
+    ap = f"{prefix}.attnpool"
+    p["attnpool"] = {
+        "positional_embedding": sd[f"{ap}.positional_embedding"],
+        "q_proj": {"kernel": _t(sd[f"{ap}.q_proj.weight"]),
+                   "bias": sd[f"{ap}.q_proj.bias"]},
+        "k_proj": {"kernel": _t(sd[f"{ap}.k_proj.weight"]),
+                   "bias": sd[f"{ap}.k_proj.bias"]},
+        "v_proj": {"kernel": _t(sd[f"{ap}.v_proj.weight"]),
+                   "bias": sd[f"{ap}.v_proj.bias"]},
+        "c_proj": {"kernel": _t(sd[f"{ap}.c_proj.weight"]),
+                   "bias": sd[f"{ap}.c_proj.bias"]},
+    }
+    return p
+
+
 def _count_layers(sd, prefix):
     pat = re.compile(re.escape(prefix) + r"\.(\d+)\.ln_1\.weight$")
     idx = [int(m.group(1)) for k in sd if (m := pat.match(k))]
@@ -117,11 +155,19 @@ def _count_layers(sd, prefix):
 
 
 def convert_clip(sd: Dict[str, np.ndarray]) -> Dict:
-    """Reference CLIP state_dict (model.py:187-264) → our CLIP param tree."""
-    v_layers = _count_layers(sd, "visual.transformer.resblocks")
+    """Reference CLIP state_dict (model.py:187-264) → our CLIP param tree.
+    Handles both ViT and ModifiedResNet (RN50/101) vision towers."""
+    if any(k.startswith("visual.layer1.") for k in sd):
+        stages = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+            for b in range(1, 5))
+        visual = convert_resnet_visual(sd, "visual", stages)
+    else:
+        visual = _convert_visual(sd, "visual",
+                                 _count_layers(sd, "visual.transformer.resblocks"))
     t_layers = _count_layers(sd, "transformer.resblocks")
     return {
-        "visual": _convert_visual(sd, "visual", v_layers),
+        "visual": visual,
         "text": {
             "token_embedding": sd["token_embedding.weight"],
             "positional_embedding": sd["positional_embedding"],

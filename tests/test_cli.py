@@ -95,3 +95,8 @@ def test_train_daclip_cli_smoke(tmp_path):
           "--name", "smoke", "--precision", "fp32"])
     ckpts = tmp_path / "smoke" / "checkpoints"
     assert ckpts.exists()
+    # resume latest continues from epoch 1 -> runs one more epoch
+    main(["--dataset-type", "synthetic", "--train-num-samples", "8",
+          "--batch-size", "4", "--epochs", "2", "--warmup", "1",
+          "--model", "daclip_test-tiny", "--logs", str(tmp_path),
+          "--name", "smoke", "--precision", "fp32", "--resume", "latest"])
