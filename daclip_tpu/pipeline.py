@@ -121,13 +121,26 @@ class DACLIPRestorer:
     def from_torch(cls, unet_path: str, daclip_path: str,
                    cfg: Optional[RestorerConfig] = None) -> "DACLIPRestorer":
         """Load the reference checkpoints (universal-ir.pth + daclip_ViT-B-32.pt)
-        exactly like predict.py:34-56."""
+        exactly like predict.py:34-56.  The UNet architecture (nf/ch_mult/
+        context/scale) is inferred from the checkpoint itself and overrides the
+        config, so daclip-sde and wild-ir checkpoints both load unmodified."""
         from daclip_tpu.utils.torch_convert import (convert_daclip, convert_unet,
+                                                    infer_unet_arch,
                                                     load_torch_state_dict)
         cfg = cfg or RestorerConfig()
         unet_sd = load_torch_state_dict(unet_path)
+        arch = infer_unet_arch(unet_sd)
+        cfg = dataclasses.replace(
+            cfg, nf=arch["nf"], ch_mult=arch["ch_mult"],
+            context_dim=arch["context_dim"],
+            use_degra_context=arch["use_degra_context"],
+            use_image_context=arch["use_image_context"], scale=arch["scale"],
+            spatial_attn_min_level=arch["spatial_attn_min_level"])
         unet_params = convert_unet(unet_sd, depth=len(cfg.ch_mult))
         daclip_params = convert_daclip(load_torch_state_dict(daclip_path))
+        # the fork's regression head is not used in restoration; our DaCLIP here
+        # is built without it, so drop the params if the checkpoint has them
+        daclip_params.pop("predictor", None)
         return cls(cfg, unet_params, daclip_params)
 
     def contexts(self, image_rgb: np.ndarray):

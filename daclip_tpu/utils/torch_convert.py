@@ -312,6 +312,37 @@ def _attn_wrap(sd, prefix):
     return out
 
 
+def infer_unet_arch(sd: Dict[str, np.ndarray]) -> Dict:
+    """Infer ConditionalUNet constructor args from a reference state_dict —
+    makes checkpoint loading robust across daclip-sde/wild-ir/custom configs."""
+    nf = sd["init_conv.weight"].shape[0]
+    in_nc = sd["init_conv.weight"].shape[1] // 2
+    depth = len({int(k.split(".")[1]) for k in sd if k.startswith("downs.")})
+    ch_mult = [sd[f"downs.{i}.3.weight"].shape[0] // nf for i in range(depth)]
+    use_degra = "prompt" in sd
+    context_dim = sd["text_mlp.0.weight"].shape[1] if use_degra else None
+    spatial_keys = [k for k in sd if ".fn.fn.proj_in.weight" in k]
+    use_image = bool(spatial_keys)
+    if use_image and context_dim is None:
+        # cross-attn to_k input dim is the context dim
+        k0 = spatial_keys[0].replace("proj_in.weight",
+                                     "transformer_blocks.0.attn2.to_k.weight")
+        context_dim = sd[k0].shape[1]
+    # which levels use SpatialTransformer → spatial_attn_min_level
+    min_level = depth
+    for k in spatial_keys:
+        if k.startswith("downs."):
+            min_level = min(min_level, int(k.split(".")[1]))
+    spatial_min = min_level if min_level < depth else 3
+    return {
+        "in_nc": in_nc, "out_nc": sd["final_conv.weight"].shape[0], "nf": nf,
+        "ch_mult": tuple(ch_mult), "context_dim": context_dim,
+        "use_degra_context": use_degra, "use_image_context": use_image,
+        "scale": 0.5 if "downsample.weight" in sd else 1.0,
+        "spatial_attn_min_level": spatial_min,
+    }
+
+
 def convert_unet(sd: Dict[str, np.ndarray], depth: int = 4) -> Dict:
     """Reference ConditionalUNet state_dict → our flax param tree.
 
