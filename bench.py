@@ -19,7 +19,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 16
+BATCH = 32
 H = W = 256
 STEPS = 100
 A100_PEAK_FP16 = 312e12

@@ -28,7 +28,12 @@ import numpy as np
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        # OpenAI CLIP releases are TorchScript archives (open_clip/openai.py
+        # handles these with torch.jit.load then falls back to the state dict)
+        ckpt = torch.jit.load(path, map_location="cpu").state_dict()
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     if isinstance(ckpt, dict) and "params_ema" in ckpt:
