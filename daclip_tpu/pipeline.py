@@ -174,6 +174,59 @@ class DACLIPRestorer:
             return array2img(out)  # [0,255] uint8 BGR like the reference
         return np.clip(out, 0, 1)
 
+    def restore_batch(self, images_rgb, seed: int = 0, return_uint8: bool = True):
+        """Throughput-oriented batched restoration: groups same-bucket images
+        into one sampler call (the per-conv fixed cost on TPU is batch-
+        independent — see BASELINE.md — so batching is the main serving lever).
+
+        images_rgb: list of [0,1] float RGB HWC arrays (any sizes ≤ tile_size).
+        Returns a list in input order.
+        """
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for idx, img in enumerate(images_rgb):
+            H, W = img.shape[:2]
+            if max(H, W) > self.cfg.tile_size:
+                groups[("tiled", idx)].append(idx)
+            else:
+                bh = _bucketize(H, self.buckets)
+                bw = _bucketize(W, self.buckets)
+                groups[(bh, bw)].append(idx)
+
+        outs: Dict[int, np.ndarray] = {}
+        key = jax.random.PRNGKey(seed)
+        for bucket, idxs in groups.items():
+            if bucket[0] == "tiled":
+                i = bucket[1]
+                outs[i] = self.restore(images_rgb[i], seed=seed,
+                                       return_uint8=False)
+                continue
+            bh, bw = bucket
+            batch, ctx_i, ctx_d = [], [], []
+            for i in idxs:
+                img = images_rgb[i]
+                H, W = img.shape[:2]
+                batch.append(np.pad(img, ((0, bh - H), (0, bw - W), (0, 0)),
+                                    mode="reflect")
+                             if (bh != H or bw != W) else img)
+                ic, dc = self.contexts(img)
+                ctx_i.append(None if ic is None else np.asarray(ic[0]))
+                ctx_d.append(None if dc is None else np.asarray(dc[0]))
+            lq = jnp.asarray(np.stack(batch), jnp.float32)
+            ictx = (jnp.asarray(np.stack(ctx_i))
+                    if ctx_i[0] is not None else None)
+            dctx = (jnp.asarray(np.stack(ctx_d))
+                    if ctx_d[0] is not None else None)
+            out = np.asarray(self._sample(lq, jax.random.fold_in(key, bh * bw),
+                                          dctx, ictx))
+            for j, i in enumerate(idxs):
+                H, W = images_rgb[i].shape[:2]
+                outs[i] = out[j, :H, :W]
+        if return_uint8:
+            return [array2img(outs[i]) for i in range(len(images_rgb))]
+        return [np.clip(outs[i], 0, 1) for i in range(len(images_rgb))]
+
     def _restore_tiled(self, image_rgb, key, img_ctx, degra_ctx):
         """Overlap-tiled sampling with feathered blending for high-res inputs
         (the TPU answer to Wild-IR's full-image processing — SURVEY.md §5

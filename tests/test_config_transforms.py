@@ -1,0 +1,83 @@
+"""Tests for the YAML options parser, remaining schedules, and host transforms."""
+import textwrap
+
+import numpy as np
+import pytest
+
+from daclip_tpu import config as cfg_mod
+from daclip_tpu.train import schedules as sched
+from daclip_tpu.transforms import (clip_transform, image_transform,
+                                   resize_max_size)
+
+
+def test_options_parse_train(tmp_path):
+    yml = tmp_path / "train.yml"
+    yml.write_text(textwrap.dedent("""
+        name: exp1
+        model: denoising
+        distortion: [noisy, rainy]
+        sde: {max_sigma: 50}
+        datasets:
+          train: {name: T, mode: MD, dataroot: ~/data}
+          val_1: {name: V, mode: LQGT, dataroot_GT: g, dataroot_LQ: l}
+        path: {}
+        train: {lr_G: 1.0e-4}
+        logger: {print_freq: 10}
+    """))
+    opt = cfg_mod.parse(str(yml), is_train=True)
+    assert opt["is_train"] is True
+    assert opt["datasets"]["train"]["phase"] == "train"
+    assert opt["datasets"]["val_1"]["phase"] == "val"
+    assert opt["datasets"]["train"]["distortion"] == ["noisy", "rainy"]
+    assert "~" not in opt["datasets"]["train"]["dataroot"]
+    assert opt["path"]["experiments_root"].endswith("experiments/exp1")
+    assert opt["sde"]["T"] == 100  # default filled
+    # NoneDict: missing keys -> None, not KeyError
+    assert opt["train"]["nonexistent"] is None
+
+
+def test_options_parse_test_mode(tmp_path):
+    yml = tmp_path / "test.yml"
+    yml.write_text("name: e\nmodel: denoising\npath: {}\n")
+    opt = cfg_mod.parse(str(yml), is_train=False)
+    assert opt["path"]["results_root"].endswith("results/e")
+
+
+def test_const_cooldown_schedule():
+    s = sched.clip_const_lr_cooldown(1.0, warmup=2, total_steps=100,
+                                     cooldown_steps=10)
+    assert float(s(0)) == pytest.approx(0.5)     # warmup
+    assert float(s(50)) == pytest.approx(1.0)    # const
+    assert float(s(95)) == pytest.approx(0.5)    # halfway through cooldown
+    assert float(s(100)) == pytest.approx(0.0)
+
+
+def test_warmup_override():
+    base = sched.cosine_annealing(1.0, 100)
+    s = sched.warmup_override(base, warmup_iter=10, base_lr=1.0)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(50)) == pytest.approx(float(base(50)))
+
+
+def test_clip_transform_shapes_and_normalization():
+    img = np.ones((100, 60, 3), np.float32) * 0.5
+    out = clip_transform(img, 32)
+    assert out.shape == (32, 32, 3)
+    # value 127/255 after normalize with OpenAI stats: (~0.498-mean)/std
+    assert -1.0 < out.mean() < 1.0
+
+
+def test_image_transform_train_random_crop_deterministic_seed():
+    img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    t1 = image_transform(32, is_train=True, seed=7)
+    t2 = image_transform(32, is_train=True, seed=7)
+    np.testing.assert_array_equal(t1(img), t2(img))
+    assert t1(img).shape == (32, 32, 3)
+
+
+def test_resize_max_size():
+    img = np.ones((100, 50, 3), np.uint8) * 255
+    out = resize_max_size(img, 64, fill_color=0)
+    assert out.shape == (64, 64, 3)
+    # the long side fills 64, the short side is padded with fill
+    assert out[:, 0, :].max() == 0 or out[0, :, :].max() == 0

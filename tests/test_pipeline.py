@@ -53,6 +53,16 @@ def test_restore_tiled_highres(tiny_restorer):
     assert 0 <= out.min() and out.max() <= 1
 
 
+def test_restore_batch_mixed_buckets(tiny_restorer):
+    rng = np.random.RandomState(3)
+    imgs = [rng.rand(16, 16, 3).astype(np.float32),
+            rng.rand(16, 16, 3).astype(np.float32),
+            rng.rand(30, 20, 3).astype(np.float32)]
+    outs = tiny_restorer.restore_batch(imgs, seed=0)
+    assert [o.shape for o in outs] == [(16, 16, 3), (16, 16, 3), (30, 20, 3)]
+    assert all(o.dtype == np.uint8 for o in outs)
+
+
 def test_classify_degradation(tiny_restorer):
     img = np.random.RandomState(2).rand(40, 40, 3).astype(np.float32)
     name, probs = tiny_restorer.classify_degradation(img, class_names=["noisy",
