@@ -135,34 +135,22 @@ class LinearAttention(nn.Module):
         n = H * W
         hidden = self.heads * self.dim_head
         qkv = conv(hidden * 3, 1, dtype=self.dtype, name="to_qkv")(x)
-        qkv = qkv.reshape(B, n, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, n, h, d)
 
-        # Bandwidth- and MXU-lean evaluation of the reference math.  Big
-        # (n-sized) tensors stay bf16 and stream once per use; the k-softmax
-        # normalisation over n and the 1/n on v fold into the tiny per-head
-        # context; and instead of 32x32 per-head GEMMs (6% MXU tile use) both
-        # contractions run at the full (heads*dim_head)=128 width with the
-        # cross-head blocks masked out of the context matrix — identical math:
-        # exactly softmax(q,d)·scale ∘ [softmax(k,n) @ (v/n)].
-        q_soft = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)
+        from daclip_tpu.ops.linear_attention import (linear_attention_pallas,
+                                                     linear_attention_reference,
+                                                     linear_attention_supported)
+        if (self.dtype == jnp.bfloat16
+                and linear_attention_supported(n, hidden)):
+            # fused two-pass Pallas kernel: ~1.5x the XLA path at 256² (stats
+            # and context stay in VMEM; see ops/linear_attention.py)
+            out = linear_attention_pallas(qkv.reshape(B, n, 3 * hidden))
+            out = out.reshape(B, H, W, hidden).astype(x.dtype)
+            out = conv(C, 1, use_bias=True, dtype=self.dtype, name="to_out")(out)
+            return ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")(out)
 
-        # max on bf16 is exact; the f32 upcast feeds exp as a single-use fused
-        # chain so no f32 copy of the n-sized tensor is materialized
-        k_max = jnp.max(k, axis=1, keepdims=True).astype(jnp.float32)
-        k_exp = jnp.exp(k.astype(jnp.float32) - k_max).astype(self.dtype)
-        k_sum = jnp.sum(k_exp, axis=1, dtype=jnp.float32)        # (B,h,d)
-
-        kf = k_exp.reshape(B, n, hidden)
-        vf = v.reshape(B, n, hidden).astype(self.dtype)
-        ctx_big = jnp.einsum("bnx,bny->bxy", kf, vf).astype(jnp.float32)
-        rowscale = ((self.dim_head ** -0.5)
-                    / (k_sum.reshape(B, hidden) * n))[..., None]
-        blockdiag = jnp.kron(jnp.eye(self.heads, dtype=jnp.float32),
-                             jnp.ones((self.dim_head, self.dim_head),
-                                      jnp.float32))
-        ctx_w = (ctx_big * rowscale * blockdiag).astype(self.dtype)
-        out = jnp.einsum("bnx,bxy->bny", q_soft.reshape(B, n, hidden), ctx_w)
+        out = linear_attention_reference(
+            qkv.reshape(B, n, 3 * hidden), heads=self.heads,
+            dim_head=self.dim_head, dtype=self.dtype)
         out = out.reshape(B, H, W, hidden).astype(x.dtype)
         out = conv(C, 1, use_bias=True, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")(out)

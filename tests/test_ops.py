@@ -40,6 +40,17 @@ def test_conv3x3_pallas_interpret_matches_lax():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_linear_attention_pallas_interpret():
+    from daclip_tpu.ops.linear_attention import (linear_attention_pallas,
+                                                 linear_attention_reference)
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(2, 2048, 384), jnp.float32)
+    want = linear_attention_reference(qkv)
+    got = linear_attention_pallas(qkv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-4)
+
+
 def test_conv3x3_supported_gate(monkeypatch):
     from daclip_tpu.ops import conv3x3_supported
     assert not conv3x3_supported((1, 64, 64, 64), 64)  # opt-in env unset
