@@ -134,26 +134,40 @@ class LinearAttention(nn.Module):
         B, H, W, C = x.shape
         n = H * W
         hidden = self.heads * self.dim_head
-        qkv = conv(hidden * 3, 1, dtype=self.dtype, name="to_qkv")(x)
 
-        from daclip_tpu.ops.linear_attention import (linear_attention_pallas,
-                                                     linear_attention_reference,
-                                                     linear_attention_supported)
+        from daclip_tpu.ops.linear_attention import (
+            linear_attention_fused_pallas, linear_attention_reference,
+            linear_attention_supported)
+
+        qkv_mod = Conv1x1(hidden * 3, dtype=self.dtype, name="to_qkv")
+        out_mod = Conv1x1(C, use_bias=True, dtype=self.dtype, name="to_out")
+        norm_mod = ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")
+
         if (self.dtype == jnp.bfloat16
                 and linear_attention_supported(n, hidden)):
-            # fused two-pass Pallas kernel: ~1.5x the XLA path at 256² (stats
-            # and context stay in VMEM; see ops/linear_attention.py)
-            out = linear_attention_pallas(qkv.reshape(B, n, 3 * hidden))
-            out = out.reshape(B, H, W, hidden).astype(x.dtype)
-            out = conv(C, 1, use_bias=True, dtype=self.dtype, name="to_out")(out)
-            return ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")(out)
+            # Fully fused two-pass Pallas kernel: to_qkv matmul + attention +
+            # to_out + ChannelLayerNorm in one op, statistics/context in VMEM —
+            # ~2.6x the composed XLA path at 256² (ops/linear_attention.py).
+            # Dummy calls below materialise the child params so the tree is
+            # identical to the jnp path; their compute is dead code.
+            _ = norm_mod(out_mod(qkv_mod(
+                jnp.zeros((1, 1, 1, C), self.dtype))[..., :hidden]))
+            w_qkv = qkv_mod.variables["params"]["kernel"].reshape(C, 3 * hidden)
+            w_out = out_mod.variables["params"]["kernel"].reshape(hidden, C)
+            b_out = out_mod.variables["params"]["bias"]
+            g_out = norm_mod.variables["params"]["g"]
+            out = linear_attention_fused_pallas(
+                x.reshape(B, n, C).astype(self.dtype),
+                w_qkv.astype(self.dtype), w_out.astype(self.dtype),
+                b_out.astype(self.dtype), g_out.astype(self.dtype))
+            return out.reshape(B, H, W, C).astype(x.dtype)
 
+        qkv = qkv_mod(x)
         out = linear_attention_reference(
             qkv.reshape(B, n, 3 * hidden), heads=self.heads,
             dim_head=self.dim_head, dtype=self.dtype)
         out = out.reshape(B, H, W, hidden).astype(x.dtype)
-        out = conv(C, 1, use_bias=True, dtype=self.dtype, name="to_out")(out)
-        return ChannelLayerNorm(dtype=self.dtype, name="to_out_norm")(out)
+        return norm_mod(out_mod(out))
 
 
 class CrossAttention(nn.Module):

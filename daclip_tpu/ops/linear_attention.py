@@ -116,6 +116,110 @@ def linear_attention_pallas(qkv: jnp.ndarray, interpret: bool = False):
     )(qkv)
 
 
+def _kernel_fused(xn_ref, wqkv_ref, wout_ref, bout_ref, gout_ref, out_ref,
+                  m_ref, s_ref, ctx_ref, w_ref, *, n, chunk, C):
+    """v2: also fuses the to_qkv matmul (pass A computes k,v = xn@Wkv; pass B
+    computes q = xn@Wq), the to_out projection and its ChannelLayerNorm —
+    the qkv tensor is never materialized in HBM."""
+    phase = pl.program_id(1)
+    c = pl.program_id(2)
+    xn = xn_ref[0]                                       # (chunk, C) bf16
+
+    @pl.when((phase == 0) & (c == 0))
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        ctx_ref[:] = jnp.zeros_like(ctx_ref)
+
+    @pl.when(phase == 0)
+    def _accumulate():
+        kv = jax.lax.dot_general(xn, wqkv_ref[:, HID:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        k = kv[:, :HID]
+        v = kv[:, HID:].astype(jnp.bfloat16)
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(k - m_new).astype(jnp.bfloat16)
+        s_ref[:] = s_ref[:] * alpha + jnp.sum(
+            p.astype(jnp.float32), axis=0, keepdims=True)
+        ctx_ref[:] = ctx_ref[:] * alpha.reshape(HID, 1) + jax.lax.dot_general(
+            p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when((phase == 1) & (c == 0))
+    def _finalize_w():
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 0) // DIM_HEAD
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 1) // DIM_HEAD
+        mask = (d_ids == e_ids).astype(jnp.float32)
+        rowscale = (DIM_HEAD ** -0.5) / (s_ref[:].reshape(HID, 1) * n)
+        w_ref[:] = (ctx_ref[:] * mask * rowscale).astype(jnp.bfloat16)
+
+    @pl.when(phase == 1)
+    def _output():
+        q = jax.lax.dot_general(xn, wqkv_ref[:, :HID], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 0) // DIM_HEAD
+        e_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 1) // DIM_HEAD
+        ones_bd = (d_ids == e_ids).astype(jnp.float32)
+        q = q - jnp.max(q)
+        q_exp = jnp.exp(q)
+        denom = jax.lax.dot_general(q_exp, ones_bd, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        q_soft = (q_exp / denom).astype(jnp.bfloat16)
+        attn = jax.lax.dot_general(q_soft, w_ref[:], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        # to_out projection + bias + ChannelLayerNorm (module_util.py:77-86)
+        y = jax.lax.dot_general(attn.astype(jnp.bfloat16), wout_ref[:],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + bout_ref[:].astype(jnp.float32)
+        mu = jnp.mean(y, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=1, keepdims=True)
+        y = (y - mu) * jax.lax.rsqrt(var + 1e-5) * gout_ref[:].astype(jnp.float32)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def linear_attention_fused_pallas(xn: jnp.ndarray, w_qkv: jnp.ndarray,
+                                  w_out: jnp.ndarray, b_out: jnp.ndarray,
+                                  g_out: jnp.ndarray, interpret: bool = False):
+    """Fully fused LinearAttention body: xn (B, n, C) PRE-NORMALIZED input,
+    w_qkv (C, 384), w_out (128, C), b_out (C,), g_out (C,) →
+    ChannelLayerNorm(to_out(attention(xn@w_qkv))) of shape (B, n, C).
+    The caller adds the residual (Residual(PreNorm(...)) wiring)."""
+    B, n, C = xn.shape
+    chunk = 1024 if n % 2048 else 2048
+    assert n % chunk == 0, (n, chunk)
+    grid = (B, 2, n // chunk)
+    return pl.pallas_call(
+        functools.partial(_kernel_fused, n=n, chunk=chunk, C=C),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chunk, C), lambda b, p, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * HID), lambda b, p, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, C), lambda b, p, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, p, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, p, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, C), lambda b, p, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), xn.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, HID), jnp.float32),
+            pltpu.VMEM((1, HID), jnp.float32),
+            pltpu.VMEM((HID, HID), jnp.float32),
+            pltpu.VMEM((HID, HID), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(xn, w_qkv, w_out, b_out.reshape(1, -1), g_out.reshape(1, -1))
+
+
 def linear_attention_reference(qkv: jnp.ndarray, heads: int = HEADS,
                                dim_head: int = DIM_HEAD,
                                dtype=None) -> jnp.ndarray:
