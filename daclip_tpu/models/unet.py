@@ -136,7 +136,7 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
 
         from daclip_tpu.ops.linear_attention import (
-            linear_attention_fused_pallas, linear_attention_reference,
+            linear_attention_fused, linear_attention_reference,
             linear_attention_supported)
 
         qkv_mod = Conv1x1(hidden * 3, dtype=self.dtype, name="to_qkv")
@@ -156,7 +156,7 @@ class LinearAttention(nn.Module):
             w_out = out_mod.variables["params"]["kernel"].reshape(hidden, C)
             b_out = out_mod.variables["params"]["bias"]
             g_out = norm_mod.variables["params"]["g"]
-            out = linear_attention_fused_pallas(
+            out = linear_attention_fused(
                 x.reshape(B, n, C).astype(self.dtype),
                 w_qkv.astype(self.dtype), w_out.astype(self.dtype),
                 b_out.astype(self.dtype), g_out.astype(self.dtype))

@@ -248,6 +248,40 @@ def linear_attention_reference(qkv: jnp.ndarray, heads: int = HEADS,
     return jnp.einsum("bnx,bxy->bny", q_soft, w)
 
 
+def _fused_composition_reference(xn, w_qkv, w_out, b_out, g_out):
+    """XLA composition equal to the fused kernel (used for the backward pass)."""
+    B, n, C = xn.shape
+    qkv = jnp.einsum("bnc,cd->bnd", xn, w_qkv)
+    attn = linear_attention_reference(qkv)
+    y = jnp.einsum("bnh,hc->bnc", attn, w_out) + b_out
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(-1, keepdims=True)
+    var = ((yf - mu) ** 2).mean(-1, keepdims=True)
+    out = (yf - mu) * jax.lax.rsqrt(var + 1e-5) * g_out.astype(jnp.float32)
+    return out.astype(xn.dtype)
+
+
+@jax.custom_vjp
+def linear_attention_fused(xn, w_qkv, w_out, b_out, g_out):
+    """Differentiable wrapper: Pallas forward, XLA-reference backward (pallas
+    kernels have no autodiff; the backward recomputes the reference composition
+    and takes its VJP — the standard fused-kernel training pattern)."""
+    return linear_attention_fused_pallas(xn, w_qkv, w_out, b_out, g_out)
+
+
+def _fused_fwd(xn, w_qkv, w_out, b_out, g_out):
+    out = linear_attention_fused_pallas(xn, w_qkv, w_out, b_out, g_out)
+    return out, (xn, w_qkv, w_out, b_out, g_out)
+
+
+def _fused_bwd(res, g):
+    _, vjp = jax.vjp(_fused_composition_reference, *res)
+    return vjp(g)
+
+
+linear_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def linear_attention_supported(n: int, hidden: int) -> bool:
     return (jax.default_backend() != "cpu" and hidden == HID
             and n % 1024 == 0)
