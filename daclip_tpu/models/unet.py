@@ -263,7 +263,9 @@ class SpatialTransformer(nn.Module):
 
 
 class AttnWrap(nn.Module):
-    """Residual(PreNorm(dim, attn)) (module_util.py:27-33,89-97)."""
+    """Residual(PreNorm(dim, attn)) (module_util.py:27-33,89-97).
+
+    The LinearAttention child runs its fused Pallas path on TPU/bf16."""
     use_spatial: bool
     heads: int
     dim_head: int = 32
@@ -278,6 +280,9 @@ class AttnWrap(nn.Module):
                                    context_dim=self.context_dim,
                                    dtype=self.dtype, name="fn")(h, context=context)
         else:
+            # the PreNorm/residual stay in XLA: fusing them into the kernel was
+            # measured SLOWER (recomputing the LN in both kernel passes costs
+            # more than the saved HBM traffic — see ops/linear_attention.py v3)
             h = LinearAttention(dtype=self.dtype, name="fn")(h, context=context)
         return h + x
 

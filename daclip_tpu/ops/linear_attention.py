@@ -116,14 +116,26 @@ def linear_attention_pallas(qkv: jnp.ndarray, interpret: bool = False):
     )(qkv)
 
 
-def _kernel_fused(xn_ref, wqkv_ref, wout_ref, bout_ref, gout_ref, out_ref,
-                  m_ref, s_ref, ctx_ref, w_ref, *, n, chunk, C):
-    """v2: also fuses the to_qkv matmul (pass A computes k,v = xn@Wkv; pass B
-    computes q = xn@Wq), the to_out projection and its ChannelLayerNorm —
-    the qkv tensor is never materialized in HBM."""
+def _kernel_fused(xn_ref, gpre_ref, wqkv_ref, wout_ref, bout_ref, gout_ref,
+                  out_ref, m_ref, s_ref, ctx_ref, w_ref, *, n, chunk, C,
+                  prenorm_residual):
+    """v2/v3: fuses the to_qkv matmul (pass A computes k,v = xn@Wkv; pass B
+    computes q = xn@Wq), the to_out projection and its ChannelLayerNorm — the
+    qkv tensor is never materialized in HBM.  With prenorm_residual=True the
+    input is RAW x: the PreNorm ChannelLayerNorm is recomputed per pass and the
+    residual add happens in pass B (the whole Residual(PreNorm(LinearAttention))
+    in one kernel)."""
     phase = pl.program_id(1)
     c = pl.program_id(2)
-    xn = xn_ref[0]                                       # (chunk, C) bf16
+    x_raw = xn_ref[0]                                    # (chunk, C) bf16
+    if prenorm_residual:
+        xf = x_raw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+              * gpre_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    else:
+        xn = x_raw
 
     @pl.when((phase == 0) & (c == 0))
     def _init():
@@ -177,26 +189,36 @@ def _kernel_fused(xn_ref, wqkv_ref, wout_ref, bout_ref, gout_ref, out_ref,
         mu = jnp.mean(y, axis=1, keepdims=True)
         var = jnp.mean(jnp.square(y - mu), axis=1, keepdims=True)
         y = (y - mu) * jax.lax.rsqrt(var + 1e-5) * gout_ref[:].astype(jnp.float32)
+        if prenorm_residual:
+            y = y + x_raw.astype(jnp.float32)
         out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "prenorm_residual"))
 def linear_attention_fused_pallas(xn: jnp.ndarray, w_qkv: jnp.ndarray,
                                   w_out: jnp.ndarray, b_out: jnp.ndarray,
-                                  g_out: jnp.ndarray, interpret: bool = False):
-    """Fully fused LinearAttention body: xn (B, n, C) PRE-NORMALIZED input,
-    w_qkv (C, 384), w_out (128, C), b_out (C,), g_out (C,) →
-    ChannelLayerNorm(to_out(attention(xn@w_qkv))) of shape (B, n, C).
-    The caller adds the residual (Residual(PreNorm(...)) wiring)."""
+                                  g_out: jnp.ndarray,
+                                  g_pre: jnp.ndarray = None,
+                                  prenorm_residual: bool = False,
+                                  interpret: bool = False):
+    """Fully fused LinearAttention: xn (B, n, C) input (pre-normalized, or RAW
+    when prenorm_residual=True — then the PreNorm LN with g_pre and the residual
+    add are fused too), w_qkv (C, 384), w_out (128, C), b_out/g_out/g_pre (C,)."""
     B, n, C = xn.shape
     chunk = 1024 if n % 2048 else 2048
     assert n % chunk == 0, (n, chunk)
+    if g_pre is None:
+        g_pre = jnp.ones((C,), xn.dtype)
     grid = (B, 2, n // chunk)
     return pl.pallas_call(
-        functools.partial(_kernel_fused, n=n, chunk=chunk, C=C),
+        functools.partial(_kernel_fused, n=n, chunk=chunk, C=C,
+                          prenorm_residual=prenorm_residual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, chunk, C), lambda b, p, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, p, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 3 * HID), lambda b, p, c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -217,7 +239,8 @@ def linear_attention_fused_pallas(xn: jnp.ndarray, w_qkv: jnp.ndarray,
             pltpu.VMEM((HID, HID), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(xn, w_qkv, w_out, b_out.reshape(1, -1), g_out.reshape(1, -1))
+    )(xn, g_pre.reshape(1, -1), w_qkv, w_out, b_out.reshape(1, -1),
+      g_out.reshape(1, -1))
 
 
 def linear_attention_reference(qkv: jnp.ndarray, heads: int = HEADS,
@@ -280,6 +303,42 @@ def _fused_bwd(res, g):
 
 
 linear_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _attn_wrap_composition_reference(x, g_pre, w_qkv, w_out, b_out, g_out):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+          * g_pre.astype(jnp.float32)).astype(x.dtype)
+    return x + _fused_composition_reference(xn, w_qkv, w_out, b_out, g_out)
+
+
+@jax.custom_vjp
+def attn_wrap_fused(x, g_pre, w_qkv, w_out, b_out, g_out):
+    """Whole Residual(PreNorm(LinearAttention)) in one Pallas op; Pallas
+    forward, XLA-reference backward.
+
+    MEASURED SLOWER than the v2 wiring (159.9 vs 136.4 ms UNet fwd at B32/256²):
+    recomputing the prenorm LN in both kernel passes costs more VPU time than
+    the saved HBM traffic, since XLA already fuses the prenorm/residual into
+    neighbouring ops.  Kept for reference; the UNet uses the v2 path."""
+    return linear_attention_fused_pallas(x, w_qkv, w_out, b_out, g_out,
+                                         g_pre=g_pre, prenorm_residual=True)
+
+
+def _wrap_fwd(x, g_pre, w_qkv, w_out, b_out, g_out):
+    out = linear_attention_fused_pallas(x, w_qkv, w_out, b_out, g_out,
+                                        g_pre=g_pre, prenorm_residual=True)
+    return out, (x, g_pre, w_qkv, w_out, b_out, g_out)
+
+
+def _wrap_bwd(res, g):
+    _, vjp = jax.vjp(_attn_wrap_composition_reference, *res)
+    return vjp(g)
+
+
+attn_wrap_fused.defvjp(_wrap_fwd, _wrap_bwd)
 
 
 def linear_attention_supported(n: int, hidden: int) -> bool:
