@@ -145,8 +145,12 @@ def main(argv=None):
         accum_freq=args.accum_freq,
         variant="uir" if args.uir_variant else "fork")
     state = init_state(trainable, cfg)
-    # buffer donation deadlocks XLA:CPU's in-process collectives; donate on TPU only
-    donate = (0,) if jax.default_backend() != "cpu" else ()
+    # buffer donation deadlocks XLA:CPU collectives AND hit a TPU runtime
+    # InvalidArgument on the large 256² training program via axon — default off,
+    # opt in with DACLIP_TPU_DONATE=1
+    import os as _os
+    donate = ((0,) if (_os.environ.get("DACLIP_TPU_DONATE") == "1"
+                       and jax.default_backend() != "cpu") else ())
     step_fn = jax.jit(make_train_step(model.apply, frozen, cfg, banks),
                       donate_argnums=donate)
 

@@ -102,6 +102,10 @@ def main(argv=None):
                 eps=sde_opt.get("eps", 0.005))
 
     net_opt = (opt["network_G"] or {}).get("setting", {}) or {}
+    patch = opt["datasets"]["train"].get("patch_size", 256)
+    # remat (gradient checkpointing) auto-enables for large patches: the
+    # production 256²/B16 training step otherwise exceeds v5e HBM by ~120 MB
+    remat = bool(net_opt.get("remat", patch >= 256))
     unet = ConditionalUNet(
         in_nc=net_opt.get("in_nc", 3), out_nc=net_opt.get("out_nc", 3),
         nf=net_opt.get("nf", 64), ch_mult=tuple(net_opt.get("ch_mult", (1, 2, 4, 8))),
@@ -109,6 +113,7 @@ def main(argv=None):
         use_degra_context=bool(net_opt.get("use_degra_context", True)),
         use_image_context=bool(net_opt.get("use_image_context", True)),
         scale=float(net_opt.get("scale", 1.0) or 1.0),
+        remat=remat,
         dtype=jnp.bfloat16)
 
     # frozen DA-CLIP for context extraction (train.py:204-209)
@@ -141,7 +146,6 @@ def main(argv=None):
 
     # init / resume
     B = (opt["datasets"]["train"].get("batch_size", 16))
-    patch = opt["datasets"]["train"].get("patch_size", 256)
     x0 = jnp.zeros((1, patch, patch, 3))
     ctx0 = jnp.zeros((1, net_opt.get("context_dim", 512) or 512))
     params = unet.init(jax.random.PRNGKey(train_opt.get("manual_seed", 0) or 0),
@@ -169,8 +173,12 @@ def main(argv=None):
         batch.pop("LQ_clip", None)
         return base_step(state, batch, key)
 
-    # buffer donation deadlocks XLA:CPU's in-process collectives; donate on TPU only
-    donate = (0,) if jax.default_backend() != "cpu" else ()
+    # buffer donation deadlocks XLA:CPU collectives AND hit a TPU runtime
+    # InvalidArgument on the large 256² training program via axon — default off,
+    # opt in with DACLIP_TPU_DONATE=1
+    import os as _os
+    donate = ((0,) if (_os.environ.get("DACLIP_TPU_DONATE") == "1"
+                       and jax.default_backend() != "cpu") else ())
     step_fn = jax.jit(full_step, donate_argnums=donate)
 
     train_loader, val_ds = build_dataloaders(opt)

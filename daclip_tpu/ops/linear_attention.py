@@ -298,7 +298,9 @@ def _fused_fwd(xn, w_qkv, w_out, b_out, g_out):
 
 
 def _fused_bwd(res, g):
-    _, vjp = jax.vjp(_fused_composition_reference, *res)
+    # jax.checkpoint keeps the recomputed composition's intermediates from
+    # dominating peak HBM (the transient otherwise OOMs 256²/B16 training)
+    _, vjp = jax.vjp(jax.checkpoint(_fused_composition_reference), *res)
     return vjp(g)
 
 
@@ -334,7 +336,7 @@ def _wrap_fwd(x, g_pre, w_qkv, w_out, b_out, g_out):
 
 
 def _wrap_bwd(res, g):
-    _, vjp = jax.vjp(_attn_wrap_composition_reference, *res)
+    _, vjp = jax.vjp(jax.checkpoint(_attn_wrap_composition_reference), *res)
     return vjp(g)
 
 
