@@ -15,3 +15,8 @@ upstream repo (mounted read-only during development; not required at runtime).
 __version__ = "0.1.0"
 
 from daclip_tpu.sde.irsde import IRSDE  # noqa: F401
+from daclip_tpu.factory import (create_loss, create_model,  # noqa: F401
+                                create_model_and_transforms,
+                                create_model_from_pretrained, get_tokenizer)
+from daclip_tpu.models.pretrained import (list_pretrained,  # noqa: F401
+                                          list_pretrained_tags_by_model)

@@ -19,6 +19,7 @@ immediately.  Weight layout conventions:
 """
 from __future__ import annotations
 
+import math
 import re
 from typing import Dict, Optional
 
@@ -153,15 +154,49 @@ def convert_resnet_visual(sd: Dict[str, np.ndarray], prefix: str = "visual",
     return p
 
 
+def resize_pos_embed(visual_params: Dict, image_size: int, patch_size: int,
+                     method: str = "cubic", antialias: bool = True) -> Dict:
+    """Rescale the ViT position-embedding grid when loading a checkpoint trained
+    at a different resolution (model.py:451-483 `resize_pos_embed`).
+
+    Operates on a converted visual param tree (in place is avoided — returns a
+    new dict).  The class token is kept; the (g·g, D) grid is interpolated with
+    bicubic+antialias (reference uses F.interpolate(mode='bicubic',
+    antialias=True); jax.image.resize(method='cubic', antialias=True) is the
+    TPU-native equivalent).
+    """
+    import jax
+
+    old = np.asarray(visual_params["positional_embedding"])
+    extra = 1  # class token (reference model.py:457)
+    g_new = image_size // patch_size
+    new_seq = g_new * g_new + extra
+    if new_seq == old.shape[0]:
+        return visual_params
+    tok, grid = old[:extra], old[extra:]
+    g_old = int(math.sqrt(grid.shape[0]))
+    grid = grid.reshape(g_old, g_old, -1)
+    grid = np.asarray(jax.image.resize(
+        grid, (g_new, g_new, grid.shape[-1]), method=method,
+        antialias=antialias), np.float32)
+    out = dict(visual_params)
+    out["positional_embedding"] = np.concatenate(
+        [tok, grid.reshape(g_new * g_new, -1)], axis=0)
+    return out
+
+
 def _count_layers(sd, prefix):
     pat = re.compile(re.escape(prefix) + r"\.(\d+)\.ln_1\.weight$")
     idx = [int(m.group(1)) for k in sd if (m := pat.match(k))]
     return max(idx) + 1
 
 
-def convert_clip(sd: Dict[str, np.ndarray]) -> Dict:
+def convert_clip(sd: Dict[str, np.ndarray], image_size: Optional[int] = None,
+                 patch_size: Optional[int] = None) -> Dict:
     """Reference CLIP state_dict (model.py:187-264) → our CLIP param tree.
-    Handles both ViT and ModifiedResNet (RN50/101) vision towers."""
+    Handles both ViT and ModifiedResNet (RN50/101) vision towers.  When
+    image_size/patch_size are given and the target grid differs from the
+    checkpoint's, the ViT pos-embed is interpolated (model.py:451-483)."""
     if any(k.startswith("visual.layer1.") for k in sd):
         stages = tuple(
             len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
@@ -170,6 +205,8 @@ def convert_clip(sd: Dict[str, np.ndarray]) -> Dict:
     else:
         visual = _convert_visual(sd, "visual",
                                  _count_layers(sd, "visual.transformer.resblocks"))
+        if image_size is not None and patch_size is not None:
+            visual = resize_pos_embed(visual, image_size, patch_size)
     t_layers = _count_layers(sd, "transformer.resblocks")
     return {
         "visual": visual,
@@ -197,19 +234,23 @@ def convert_predictor(sd: Dict[str, np.ndarray], prefix: str = "predictor") -> D
     }
 
 
-def convert_daclip(sd: Dict[str, np.ndarray]) -> Dict:
+def convert_daclip(sd: Dict[str, np.ndarray], image_size: Optional[int] = None,
+                   patch_size: Optional[int] = None) -> Dict:
     """Full DaCLIP checkpoint (daclip_ViT-B-32.pt) → our DaCLIP param tree.
 
     DaCLIP aliases `visual.*` ≡ `clip.visual.*` in the torch state_dict
     (daclip_model.py:21); only `clip.*` and `visual_control.*` are read here.
     """
     clip_sd = {k[len("clip."):]: v for k, v in sd.items() if k.startswith("clip.")}
-    params = {"clip": convert_clip(clip_sd)}
+    params = {"clip": convert_clip(clip_sd, image_size, patch_size)}
     vc_layers = _count_layers(sd, "visual_control.transformer.transformer.resblocks")
-    params["visual_control"] = _convert_visual(
+    vc = _convert_visual(
         sd, "visual_control", vc_layers,
         zero_prefix="visual_control.transformer.zero_modules",
         transformer_sub="transformer.transformer.resblocks")
+    if image_size is not None and patch_size is not None:
+        vc = resize_pos_embed(vc, image_size, patch_size)
+    params["visual_control"] = vc
     params["logit_scale"] = np.asarray(sd["logit_scale"], np.float32)
     if any(k.startswith("predictor.") for k in sd):
         params["predictor"] = convert_predictor(sd)

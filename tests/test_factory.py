@@ -1,0 +1,124 @@
+"""Factory API (factory.py parity: open_clip factory.py:109-404) and the
+pretrained registry / pos-embed resize."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daclip_tpu.factory import (create_loss, create_model,
+                                create_model_and_transforms,
+                                create_model_from_pretrained, get_tokenizer)
+from daclip_tpu.models.pretrained import (get_pretrained_cfg,
+                                          get_pretrained_url, is_pretrained_cfg,
+                                          list_pretrained,
+                                          list_pretrained_tags_by_model)
+
+
+def test_create_model_clip():
+    model, params = create_model("test-tiny")
+    assert "visual" in params and "text" in params
+    out = model.apply({"params": params},
+                      jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 16), jnp.int32))
+    assert out["image_features"].shape == (2, 32)
+    assert out["text_features"].shape == (2, 32)
+
+
+def test_create_model_daclip_two_tower():
+    model, params = create_model("daclip_test-tiny")
+    assert "clip" in params and "visual_control" in params
+    img_f, deg_f = model.apply({"params": params}, jnp.zeros((2, 32, 32, 3)),
+                               control=True, method=model.encode_image)
+    assert img_f.shape == deg_f.shape == (2, 32)
+
+
+def test_create_model_daclip_predictor_params():
+    _, params = create_model("daclip_test-tiny", use_predictor=True)
+    assert "predictor" in params
+    assert params["predictor"]["reg_w1"].shape == (4, 7, 14)
+
+
+def test_create_model_and_transforms_and_tokenizer():
+    model, params, pp_train, pp_val = create_model_and_transforms("test-tiny")
+    img = (np.random.RandomState(0).rand(48, 40, 3)).astype(np.float32)
+    assert pp_val(img).shape == (32, 32, 3)
+    assert pp_train(img).shape == (32, 32, 3)
+    tok = get_tokenizer("test-tiny")
+    assert np.asarray(tok(["hello world"])).shape == (1, 16)
+
+
+def test_create_model_unknown_pretrained_tag():
+    with pytest.raises(FileNotFoundError):
+        create_model("test-tiny", pretrained="not-a-real-tag")
+
+
+def test_pretrained_registry():
+    assert ("ViT-B-32", "openai") in list_pretrained()
+    assert "laion2b_s34b_b79k" in list_pretrained_tags_by_model("ViT-B-32")
+    # daclip_* names resolve through the underlying tower (factory.py:225-227)
+    assert "laion2b_s34b_b79k" in list_pretrained_tags_by_model("daclip_ViT-B-32")
+    assert is_pretrained_cfg("ViT-L-14", "laion2b_s32b_b82k")
+    url = get_pretrained_url("ViT-B-32", "openai")
+    assert url.startswith("https://") and url.endswith("ViT-B-32.pt")
+    assert get_pretrained_cfg("ViT-L-14", "laion2b_s32b_b82k")["mean"] == (0.5,) * 3
+
+
+def test_create_loss_dispatch():
+    class A:  # mimics the reference args namespace
+        distill = False
+        model = "daclip_ViT-B-32"
+        da = False
+
+    import importlib
+    L = importlib.import_module("daclip_tpu.losses.clip_loss")
+    assert create_loss(A()) is L.daclip_loss_uir
+    A.da = True
+    assert create_loss(A()) is L.daclip_loss_fork
+    A.da = False
+    A.model = "coca_ViT-B-32"
+    assert create_loss(A()) is not None
+    A.model = "ViT-B-32"
+    out = {"image_features": jnp.eye(4, 8), "text_features": jnp.eye(4, 8),
+           "logit_scale": jnp.asarray(10.0)}
+    val = create_loss(A())(out)["contrastive_loss"]
+    assert np.isfinite(float(val))
+
+
+def test_resize_pos_embed():
+    from daclip_tpu.utils.torch_convert import resize_pos_embed
+
+    rng = np.random.RandomState(0)
+    # 7x7 grid + cls token, D=16 → resize to 14x14 grid
+    vis = {"positional_embedding": rng.randn(50, 16).astype(np.float32)}
+    out = resize_pos_embed(vis, image_size=448, patch_size=32)
+    assert out["positional_embedding"].shape == (197, 16)
+    # cls token untouched
+    np.testing.assert_array_equal(out["positional_embedding"][0],
+                                  vis["positional_embedding"][0])
+    # same-size load is a no-op (reference model.py:459-460)
+    same = resize_pos_embed(vis, image_size=224, patch_size=32)
+    assert same is vis
+
+
+@pytest.mark.skipif(not __import__("pathlib").Path("/root/reference").exists(),
+                    reason="dev-only")
+def test_resize_pos_embed_matches_torch():
+    """Golden vs the reference's F.interpolate(bicubic, antialias) grid resize
+    (model.py:451-483) — same orientation/layout, close values."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    grid = rng.randn(49, 8).astype(np.float32)
+    vis = {"positional_embedding": np.concatenate(
+        [rng.randn(1, 8).astype(np.float32), grid])}
+    ours = resize = __import__(
+        "daclip_tpu.utils.torch_convert", fromlist=["resize_pos_embed"]
+    ).resize_pos_embed(vis, image_size=352, patch_size=32)["positional_embedding"][1:]
+
+    t = torch.from_numpy(grid).reshape(1, 7, 7, 8).permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(11, 11), mode="bicubic", antialias=True,
+                      align_corners=False)
+    theirs = t.permute(0, 2, 3, 1).reshape(121, 8).numpy()
+    # different resampling kernels (jax tri-cubic vs torch bicubic) — require
+    # close agreement, not bit equality
+    assert np.max(np.abs(ours - theirs)) < 0.35
+    assert np.corrcoef(ours.ravel(), theirs.ravel())[0, 1] > 0.99
