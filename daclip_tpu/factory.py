@@ -69,10 +69,14 @@ def create_model(
     """
     model_name = model_name.replace("/", "-")
     is_daclip = "daclip" in model_name
-    cfg = CLIPCfg.from_dict(get_model_config(model_name))
     dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
              "amp_bf16": jnp.bfloat16, "fp16": jnp.bfloat16,
              "amp": jnp.bfloat16}[precision]
+
+    if "coca" in model_name:  # factory.py:186-190 CoCa dispatch
+        return _create_coca(model_name, pretrained, dtype, cache_dir, seed)
+
+    cfg = CLIPCfg.from_dict(get_model_config(model_name))
 
     if use_predictor is None:
         use_predictor = False
@@ -110,6 +114,32 @@ def create_model(
             params = initial_controller(params)
         else:
             params = convert_clip(sd, v.image_size, ps)
+    return model, params
+
+
+def _create_coca(model_name, pretrained, dtype, cache_dir, seed):
+    import jax
+
+    from daclip_tpu.models.coca import CoCa, CoCaCfg
+
+    ccfg = CoCaCfg.from_dict(get_model_config(model_name))
+    model = CoCa(ccfg, dtype=dtype)
+    img = jnp.zeros((1, ccfg.vision.image_size, ccfg.vision.image_size, 3),
+                    jnp.float32)
+    txt = jnp.zeros((1, ccfg.text.context_length + 1), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), img, txt)["params"]
+    if pretrained:
+        from daclip_tpu.utils.torch_convert import (convert_coca,
+                                                    load_torch_state_dict)
+        path = Path(pretrained)
+        if not path.exists():
+            url_cfg = get_pretrained_cfg(model_name, pretrained)
+            if not url_cfg:
+                raise FileNotFoundError(
+                    f"pretrained {pretrained!r} is neither a local file nor a "
+                    f"known tag for {model_name!r}")
+            path = Path(download_pretrained(url_cfg, cache_dir=cache_dir))
+        params = convert_coca(load_torch_state_dict(str(path)))
     return model, params
 
 
@@ -157,10 +187,14 @@ def create_model_from_pretrained(
 
 def get_tokenizer(model_name: str = ""):
     """factory.py:101-106: the byte-BPE tokenizer bound to the model's context
-    length (HF-text models use their own tokenizer — see models/hf_text.py)."""
+    length (HF-text models use their own tokenizer — see models/hf_text.py).
+    CoCa text towers consume context_length+1 tokens (one is traded for the
+    appended CLS, coca_model.py:143: `text[:, :-1]`), matching the reference
+    where coca text_cfg.context_length is 76 against tokenize's default 77."""
     if model_name:
         cfg = CLIPCfg.from_dict(get_model_config(model_name))
-        return partial(tokenize, context_length=cfg.text.context_length)
+        n = cfg.text.context_length + (1 if "coca" in model_name else 0)
+        return partial(tokenize, context_length=n)
     return tokenize
 
 

@@ -2,11 +2,17 @@ from daclip_tpu.models.clip import (CLIP, CLIPCfg, DaCLIP,
                                     MultiTypeDegradationPredictor, TextCfg,
                                     VisionCfg, add_model_config,
                                     get_model_config, list_models)
-from daclip_tpu.models.transformer import (TextTransformer, Transformer,
+from daclip_tpu.models.coca import CoCa, CoCaCfg, MultimodalCfg
+from daclip_tpu.models.coca import generate as coca_generate
+from daclip_tpu.models.transformer import (AttentionalPooler,
+                                           MultimodalTransformer,
+                                           TextTransformer, Transformer,
                                            VisionTransformer)
 
 __all__ = [
     "CLIP", "CLIPCfg", "DaCLIP", "MultiTypeDegradationPredictor",
     "TextCfg", "VisionCfg", "add_model_config", "get_model_config", "list_models",
+    "CoCa", "CoCaCfg", "MultimodalCfg", "coca_generate",
+    "AttentionalPooler", "MultimodalTransformer",
     "TextTransformer", "Transformer", "VisionTransformer",
 ]

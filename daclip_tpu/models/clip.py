@@ -35,6 +35,11 @@ class VisionCfg:
     head_width: int = 64
     mlp_ratio: float = 4.0
     global_average_pool: bool = False
+    # CoCa vision tower (coca_*.json configs; transformer.py:385-389)
+    attentional_pool: bool = False
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
+    output_tokens: bool = False
 
     @property
     def is_resnet(self) -> bool:
@@ -55,6 +60,10 @@ class TextCfg:
     heads: int = 8
     layers: int = 12
     mlp_ratio: float = 4.0
+    # CoCa text tower (transformer.py:572-575)
+    embed_cls: bool = False
+    pad_id: int = 0
+    output_tokens: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +116,28 @@ _MODEL_CONFIGS: Dict[str, Dict] = {
                      "heads": 8, "layers": 12},
     },
 }
+_MODEL_CONFIGS["coca_ViT-B-32"] = {
+    "embed_dim": 512,
+    "vision_cfg": {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32,
+                   "attentional_pool": True, "attn_pooler_heads": 8,
+                   "output_tokens": True},
+    "text_cfg": {"context_length": 76, "vocab_size": 49408, "width": 512,
+                 "heads": 8, "layers": 12, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 76, "vocab_size": 49408, "width": 512,
+                       "heads": 8, "layers": 12, "attn_pooler_heads": 8},
+}
+_MODEL_CONFIGS["coca_ViT-L-14"] = {
+    "embed_dim": 768,
+    "vision_cfg": {"image_size": 224, "layers": 24, "width": 1024, "patch_size": 14,
+                   "attentional_pool": True, "attn_pooler_heads": 8,
+                   "output_tokens": True},
+    "text_cfg": {"context_length": 76, "vocab_size": 49408, "width": 768,
+                 "heads": 12, "layers": 12, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 76, "vocab_size": 49408, "width": 768,
+                       "heads": 12, "layers": 12, "attn_pooler_heads": 12},
+}
 # tiny config for smoke tests / CI (not part of reference parity)
 _MODEL_CONFIGS["test-tiny"] = {
     "embed_dim": 32,
@@ -114,6 +145,17 @@ _MODEL_CONFIGS["test-tiny"] = {
                    "head_width": 32},
     "text_cfg": {"context_length": 16, "vocab_size": 49408, "width": 32,
                  "heads": 2, "layers": 2},
+}
+_MODEL_CONFIGS["coca_test-tiny"] = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 32, "layers": 2, "width": 64, "patch_size": 16,
+                   "head_width": 32, "attentional_pool": True,
+                   "attn_pooler_heads": 4, "n_queries": 9, "output_tokens": True},
+    "text_cfg": {"context_length": 15, "vocab_size": 49408, "width": 32,
+                 "heads": 2, "layers": 2, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 15, "vocab_size": 49408, "width": 32,
+                       "heads": 2, "layers": 2},
 }
 # daclip_* names reuse the underlying tower config (factory.py:191-192,225-227)
 for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14", "test-tiny"]:

@@ -79,6 +79,38 @@ class MultiheadAttention(nn.Module):
                         name="out_proj")(out)
 
 
+class CrossMultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention with distinct query and key/value sources
+    (and optionally kdim != embed_dim — separate q/k/v projections, the layout
+    torch uses whenever kdim/vdim differ).  Used by the CoCa decoder's
+    cross-attention blocks (transformer.py:710-721) and AttentionalPooler
+    (transformer.py:163-186)."""
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_x, kv_x, mask: Optional[jnp.ndarray] = None):
+        B, Nq, _ = q_x.shape
+        Nk = kv_x.shape[1]
+        H = self.heads
+        hd = self.width // H
+        q = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="q_proj")(q_x).reshape(B, Nq, H, hd)
+        k = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="k_proj")(kv_x).reshape(B, Nk, H, hd)
+        v = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="v_proj")(kv_x).reshape(B, Nk, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        logits = logits * (hd ** -0.5)
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Nq, self.width)
+        return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="out_proj")(out)
+
+
 class MLP(nn.Module):
     """c_fc → act → c_proj (open_clip/transformer.py:208-214)."""
     width: int

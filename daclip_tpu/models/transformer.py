@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from daclip_tpu.models.layers import LayerNorm, MLP, MultiheadAttention
+from daclip_tpu.models.layers import (CrossMultiheadAttention, LayerNorm, MLP,
+                                      MultiheadAttention)
 
 Dtype = Any
 
@@ -110,6 +111,97 @@ def causal_mask(n: int) -> np.ndarray:
     return np.triu(mask, 1)
 
 
+class AttentionalPooler(nn.Module):
+    """n_queries learned queries cross-attending over encoder tokens
+    (open_clip/transformer.py:163-186).  Used by the CoCa vision tower."""
+    d_model: int
+    heads: int = 8
+    n_queries: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        query = self.param("query", nn.initializers.normal(1.0),
+                           (self.n_queries, self.d_model), jnp.float32)
+        k = LayerNorm(dtype=self.dtype, name="ln_k")(x)
+        q = LayerNorm(dtype=self.dtype, name="ln_q")(
+            query.astype(self.dtype))
+        q = jnp.broadcast_to(q[None], (B, self.n_queries, self.d_model))
+        return CrossMultiheadAttention(self.d_model, self.heads,
+                                       dtype=self.dtype, name="attn")(q, k)
+
+
+class MultimodalBlock(nn.Module):
+    """One CoCa decoder layer: causal self-attn resblock + cross-attn resblock
+    over the image tokens (open_clip/transformer.py:710-721,757-767), scanned."""
+    width: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, inputs):
+        image_embs, mask = inputs
+        x = x + MultiheadAttention(self.width, self.heads, dtype=self.dtype,
+                                   name="attn")(
+            LayerNorm(dtype=self.dtype, name="ln_1")(x), mask)
+        x = x + MLP(self.width, int(self.width * self.mlp_ratio),
+                    quick_gelu=self.quick_gelu, dtype=self.dtype,
+                    name="mlp")(LayerNorm(dtype=self.dtype, name="ln_2")(x))
+        kv = LayerNorm(dtype=self.dtype, name="cross_ln_1_kv")(image_embs)
+        x = x + CrossMultiheadAttention(self.width, self.heads, dtype=self.dtype,
+                                        name="cross_attn")(
+            LayerNorm(dtype=self.dtype, name="cross_ln_1")(x), kv)
+        x = x + MLP(self.width, int(self.width * self.mlp_ratio),
+                    quick_gelu=self.quick_gelu, dtype=self.dtype,
+                    name="cross_mlp")(
+            LayerNorm(dtype=self.dtype, name="cross_ln_2")(x))
+        return x, None
+
+
+class MultimodalTransformer(nn.Module):
+    """CoCa text decoder (open_clip/transformer.py:686-778): L scanned
+    (self-attn, cross-attn) layer pairs over the caption tokens with the image
+    tokens as cross-attention memory, then ln_final + projection to the vocab-
+    sized logits space (output_dim = vocab_size for CoCa)."""
+    width: int
+    layers: int
+    heads: int
+    context_length: int = 77
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    quick_gelu: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embs, text_embs):
+        L = text_embs.shape[1]
+        mask = jnp.asarray(causal_mask(L))
+        block_cls = MultimodalBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False)
+        scan = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=((nn.broadcast, nn.broadcast),),
+            out_axes=0,
+            length=self.layers,
+        )
+        x, _ = scan(width=self.width, heads=self.heads, mlp_ratio=self.mlp_ratio,
+                    quick_gelu=self.quick_gelu, dtype=self.dtype,
+                    name="layers")(text_embs.astype(self.dtype),
+                                   (image_embs.astype(self.dtype), mask))
+        x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        proj = self.param("text_projection",
+                          nn.initializers.normal(self.width ** -0.5),
+                          (self.width, self.output_dim), jnp.float32)
+        return jnp.dot(x, proj.astype(x.dtype))
+
+
 class VisionTransformer(nn.Module):
     """CLIP ViT (open_clip/transformer.py:372-555), NHWC input in [preprocessed]
     normalized float, patch embedding as an MXU matmul over unfolded patches
@@ -129,6 +221,11 @@ class VisionTransformer(nn.Module):
     quick_gelu: bool = False
     controller: bool = False
     global_average_pool: bool = False
+    # CoCa vision tower options (transformer.py:385-389,434-441)
+    attentional_pool: bool = False
+    n_queries: int = 256
+    attn_pooler_heads: int = 8
+    output_tokens: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -166,22 +263,44 @@ class VisionTransformer(nn.Module):
         else:
             h = out
 
-        if self.global_average_pool:
-            pooled = h.mean(axis=1)
+        if self.attentional_pool:
+            # transformer.py:434-437,540-543: pool to n_queries tokens, ln_post
+            # over ALL pooled tokens, first token is the contrastive latent
+            h = AttentionalPooler(self.output_dim, self.attn_pooler_heads,
+                                  self.n_queries, dtype=self.dtype,
+                                  name="attn_pool")(h)
+            h = LayerNorm(dtype=self.dtype, name="ln_post")(h)
+            pooled, tokens = h[:, 0], h[:, 1:]
+            proj = self.param("proj",
+                              nn.initializers.normal(self.width ** -0.5),
+                              (self.output_dim, self.output_dim), jnp.float32)
         else:
-            pooled = h[:, 0]
-        pooled = LayerNorm(dtype=self.dtype, name="ln_post")(pooled)
-        proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
-                          (self.width, self.output_dim), jnp.float32)
+            if self.global_average_pool:
+                pooled, tokens = h.mean(axis=1), h
+            else:
+                pooled, tokens = h[:, 0], h[:, 1:]
+            pooled = LayerNorm(dtype=self.dtype, name="ln_post")(pooled)
+            proj = self.param("proj",
+                              nn.initializers.normal(self.width ** -0.5),
+                              (self.width, self.output_dim), jnp.float32)
         pooled = jnp.dot(pooled, proj.astype(pooled.dtype))
+        if self.output_tokens:
+            return pooled, tokens
         if output_hiddens:
             return pooled, hiddens
         return pooled
 
 
 class TextTransformer(nn.Module):
-    """CLIP text tower (open_clip/transformer.py:558-683, embed_cls=False path;
-    also the inlined text stack of model.py:203-249)."""
+    """CLIP text tower (open_clip/transformer.py:558-683; also the inlined text
+    stack of model.py:203-249).
+
+    embed_cls=True is the CoCa variant: a learned CLS embedding is APPENDED to
+    the sequence (num_pos = context_length+1), padding keys are masked for the
+    CLS query only (build_cls_mask, transformer.py:641-648 — quirks replicated
+    exactly), pooling reads the CLS position and ln_final is applied to the
+    pooled latent only while the returned tokens stay un-normalised
+    (transformer.py:673-676)."""
     context_length: int = 77
     vocab_size: int = 49408
     width: int = 512
@@ -190,28 +309,65 @@ class TextTransformer(nn.Module):
     mlp_ratio: float = 4.0
     output_dim: int = 512
     quick_gelu: bool = False
+    embed_cls: bool = False
+    pad_id: int = 0
+    output_tokens: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
+    def _cls_mask(self, text, L):
+        """build_cls_mask (transformer.py:641-648): only the (appended) CLS
+        query masks padding keys; all other query rows are left fully open.
+        Key column 0 is force-open and the (text != pad) row is shifted right
+        by one — the reference's F.pad((1,0)) layout, replicated verbatim."""
+        B = text.shape[0]
+        keys_open = jnp.concatenate(
+            [jnp.ones((B, 1), bool), text != self.pad_id], axis=-1)  # (B, L+1)
+        cls_row = jnp.where(keys_open, 0.0, float("-inf"))[:, :L + 1]
+        full = jnp.zeros((B, L + 1, L + 1), jnp.float32)
+        full = full.at[:, -1, :].set(cls_row)
+        return full[:, None]  # (B, 1, L+1, L+1) broadcast over heads
+
     @nn.compact
-    def __call__(self, text):
+    def __call__(self, text, embed_cls: Optional[bool] = None):
         # text: (B, L) int32 token ids
+        use_cls = self.embed_cls if embed_cls is None else embed_cls
         L = text.shape[1]
+        num_pos = self.context_length + (1 if self.embed_cls else 0)
         tok = self.param("token_embedding", nn.initializers.normal(0.02),
                          (self.vocab_size, self.width), jnp.float32)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
-                         (self.context_length, self.width), jnp.float32)
+                         (num_pos, self.width), jnp.float32)
+        if self.embed_cls:
+            cls_emb = self.param("cls_emb", nn.initializers.normal(0.01),
+                                 (self.width,), jnp.float32)
         x = jnp.take(tok, text, axis=0).astype(self.dtype)
-        x = x + pos[:L].astype(self.dtype)
-        mask = jnp.asarray(causal_mask(L))
+        if use_cls:
+            B = x.shape[0]
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(cls_emb.astype(self.dtype),
+                                     (B, 1, self.width))], axis=1)
+            seq = L + 1
+            mask = jnp.asarray(causal_mask(seq))[None, None] + self._cls_mask(text, L)
+        else:
+            seq = L
+            mask = jnp.asarray(causal_mask(seq))
+        x = x + pos[:seq].astype(self.dtype)
         x = Transformer(self.width, self.layers, self.heads, self.mlp_ratio,
                         quick_gelu=self.quick_gelu, remat=self.remat,
                         dtype=self.dtype, name="transformer")(x, mask=mask)
-        x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
-        # EOT pooling: highest token id marks end of text (transformer.py:675)
-        eot = jnp.argmax(text, axis=-1)
-        pooled = x[jnp.arange(x.shape[0]), eot]
+        if use_cls:
+            pooled, tokens = x[:, -1], x[:, :-1]
+            pooled = LayerNorm(dtype=self.dtype, name="ln_final")(pooled)
+        else:
+            x = LayerNorm(dtype=self.dtype, name="ln_final")(x)
+            # EOT pooling: highest token id marks end of text (transformer.py:675)
+            eot = jnp.argmax(text, axis=-1)
+            pooled, tokens = x[jnp.arange(x.shape[0]), eot], x
         proj = self.param("text_projection",
                           nn.initializers.normal(self.width ** -0.5),
                           (self.width, self.output_dim), jnp.float32)
-        return jnp.dot(pooled, proj.astype(pooled.dtype))
+        pooled = jnp.dot(pooled, proj.astype(pooled.dtype))
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled

@@ -223,6 +223,103 @@ def convert_clip(sd: Dict[str, np.ndarray], image_size: Optional[int] = None,
     }
 
 
+def _mha_qkv(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """torch nn.MultiheadAttention → our CrossMultiheadAttention tree.
+    Handles both the packed layout (kdim == embed_dim: `in_proj_weight`) and the
+    unpacked one (kdim != embed_dim: `q/k/v_proj_weight`)."""
+    if f"{prefix}.in_proj_weight" in sd:
+        w = sd[f"{prefix}.in_proj_weight"]
+        d = w.shape[0] // 3
+        qw, kw, vw = w[:d], w[d:2 * d], w[2 * d:]
+    else:
+        qw = sd[f"{prefix}.q_proj_weight"]
+        kw = sd[f"{prefix}.k_proj_weight"]
+        vw = sd[f"{prefix}.v_proj_weight"]
+        d = qw.shape[0]
+    b = sd[f"{prefix}.in_proj_bias"]
+    return {
+        "q_proj": {"kernel": _t(qw), "bias": b[:d]},
+        "k_proj": {"kernel": _t(kw), "bias": b[d:2 * d]},
+        "v_proj": {"kernel": _t(vw), "bias": b[2 * d:]},
+        "out_proj": {"kernel": _t(sd[f"{prefix}.out_proj.weight"]),
+                     "bias": sd[f"{prefix}.out_proj.bias"]},
+    }
+
+
+def _ln(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def convert_coca(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference CoCa state_dict (coca_model.py:82-131) → our CoCa param tree."""
+    visual = _convert_visual(sd, "visual",
+                             _count_layers(sd, "visual.transformer.resblocks"))
+    if "visual.attn_pool.query" in sd:
+        visual["attn_pool"] = {
+            "query": sd["visual.attn_pool.query"],
+            "ln_q": _ln(sd, "visual.attn_pool.ln_q"),
+            "ln_k": _ln(sd, "visual.attn_pool.ln_k"),
+            "attn": _mha_qkv(sd, "visual.attn_pool.attn"),
+        }
+    t_layers = _count_layers(sd, "text.transformer.resblocks")
+    text = {
+        "token_embedding": sd["text.token_embedding.weight"],
+        "positional_embedding": sd["text.positional_embedding"],
+        "cls_emb": sd["text.cls_emb"].reshape(-1),
+        "ln_final": _ln(sd, "text.ln_final"),
+        "text_projection": sd["text.text_projection"],
+        "transformer": {"resblocks": _convert_resblocks(
+            sd, "text.transformer.resblocks", t_layers)},
+    }
+    d_layers = _count_layers(sd, "text_decoder.resblocks")
+
+    def stack(fmt, conv=lambda x: x):
+        return np.stack([conv(sd[fmt.format(i)]) for i in range(d_layers)])
+
+    self_blocks = _convert_resblocks(sd, "text_decoder.resblocks", d_layers)
+    layers = dict(self_blocks)
+    layers.update({
+        "cross_ln_1": {"scale": stack("text_decoder.cross_attn.{}.ln_1.weight"),
+                       "bias": stack("text_decoder.cross_attn.{}.ln_1.bias")},
+        "cross_ln_1_kv": {"scale": stack("text_decoder.cross_attn.{}.ln_1_kv.weight"),
+                          "bias": stack("text_decoder.cross_attn.{}.ln_1_kv.bias")},
+        "cross_ln_2": {"scale": stack("text_decoder.cross_attn.{}.ln_2.weight"),
+                       "bias": stack("text_decoder.cross_attn.{}.ln_2.bias")},
+        "cross_mlp": {
+            "c_fc": {"kernel": stack("text_decoder.cross_attn.{}.mlp.c_fc.weight", _t),
+                     "bias": stack("text_decoder.cross_attn.{}.mlp.c_fc.bias")},
+            "c_proj": {"kernel": stack("text_decoder.cross_attn.{}.mlp.c_proj.weight", _t),
+                       "bias": stack("text_decoder.cross_attn.{}.mlp.c_proj.bias")},
+        },
+    })
+    # stacked cross-attention QKV (packed in torch since kdim == width here)
+    per_layer = [_mha_qkv(sd, f"text_decoder.cross_attn.{i}.attn")
+                 for i in range(d_layers)]
+    layers["cross_attn"] = jax_tree_stack(per_layer)
+    decoder = {
+        "layers": layers,
+        "ln_final": _ln(sd, "text_decoder.ln_final"),
+        "text_projection": sd["text_decoder.text_projection"],
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "text_decoder": decoder,
+        "logit_scale": np.asarray(sd["logit_scale"], np.float32),
+    }
+
+
+def jax_tree_stack(trees):
+    """Stack a list of identically-structured numpy dicts along axis 0."""
+    out = {}
+    for k, v in trees[0].items():
+        if isinstance(v, dict):
+            out[k] = jax_tree_stack([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees])
+    return out
+
+
 def convert_predictor(sd: Dict[str, np.ndarray], prefix: str = "predictor") -> Dict:
     """Fork predictor head: 4 stacked Linear(7,14)-ReLU-Linear(14,7)-Tanh
     (da-clip/src/open_clip/daclip_model.py:37-44)."""

@@ -121,6 +121,11 @@ def load_ref_openclip_pkg(which: str = "uir"):
     except Exception as e:  # pragma: no cover
         pkg.model = None
         pkg.model_error = e
+    try:
+        pkg.coca_model = sub("coca_model")
+    except Exception as e:  # pragma: no cover
+        pkg.coca_model = None
+        pkg.coca_error = e
     return pkg
 
 
