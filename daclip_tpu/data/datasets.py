@@ -140,20 +140,43 @@ class LQGTDataset:
     def __init__(self, opt: Dict):
         self.opt = opt
         self.phase = opt.get("phase", "test")
-        self.GT_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_GT"])
-        self.LR_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_LQ"])
+        self.is_lmdb = opt.get("data_type") == "lmdb"
+        self.GT_env = self.LR_env = None  # lazy (LQGT_dataset.py:58-74)
+        if self.is_lmdb:
+            self.GT_paths, self.GT_sizes = util.get_image_paths(
+                "lmdb", opt["dataroot_GT"])
+            self.LR_paths, self.LR_sizes = util.get_image_paths(
+                "lmdb", opt["dataroot_LQ"])
+        else:
+            self.GT_paths = util.get_image_paths(opt.get("data_type"),
+                                                 opt["dataroot_GT"])
+            self.LR_paths = util.get_image_paths(opt.get("data_type"),
+                                                 opt["dataroot_LQ"])
         self.rng = random.Random(opt.get("seed"))
 
     def __len__(self):
         return len(self.GT_paths)
 
+    def _resolution(self, sizes, index):
+        s = sizes[index]
+        return [int(x) for x in s.split("_")] if isinstance(s, str) else s
+
     def __getitem__(self, index: int) -> Dict:
+        if self.is_lmdb and self.GT_env is None:
+            self.GT_env = util.open_lmdb(self.opt["dataroot_GT"])
+            self.LR_env = util.open_lmdb(self.opt["dataroot_LQ"])
         scale = self.opt.get("scale") or 1
         GT_size = self.opt.get("patch_size")
         GT_path = self.GT_paths[index]
         LR_path = self.LR_paths[index]
-        img_GT = util.read_img(None, GT_path)
-        img_LR = util.read_img(None, LR_path)
+        if self.is_lmdb:
+            img_GT = util.read_img(self.GT_env, GT_path,
+                                   self._resolution(self.GT_sizes, index))
+            img_LR = util.read_img(self.LR_env, LR_path,
+                                   self._resolution(self.LR_sizes, index))
+        else:
+            img_GT = util.read_img(None, GT_path)
+            img_LR = util.read_img(None, LR_path)
 
         if self.phase == "train":
             H, W, _ = img_LR.shape
@@ -170,6 +193,11 @@ class LQGTDataset:
             if self.rng.random() < 0.2:  # LQGT_dataset.py:129-131
                 img_GT = util.channel_convert(img_GT.shape[2], "gray", [img_GT])[0]
                 img_LR = util.channel_convert(img_LR.shape[2], "gray", [img_LR])[0]
+                # keep 3 channels so batches collate and the 3-channel UNet
+                # accepts them (the reference emits (1,H,W) here and would
+                # crash both its collate and its model — untested upstream)
+                img_GT = np.repeat(img_GT, 3, axis=2)
+                img_LR = np.repeat(img_LR, 3, axis=2)
         if self.opt.get("color"):
             img_LR = util.channel_convert(img_LR.shape[2], self.opt["color"], [img_LR])[0]
             img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]

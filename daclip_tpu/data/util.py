@@ -40,19 +40,51 @@ def get_paths_from_images(path: str) -> List[str]:
 
 
 def get_image_paths(data_type: Optional[str], dataroot: Optional[str]):
+    """util.py:42-54: 'img' → sorted file list; 'lmdb' → (keys, sizes) from
+    meta_info.pkl (util.py:32-39)."""
     if dataroot is None:
         return None
     if data_type in (None, "img"):
         return sorted(get_paths_from_images(dataroot))
-    raise NotImplementedError(f"data_type {data_type!r} not supported (img only; "
-                              "the reference's lmdb path is out of scope)")
+    if data_type == "lmdb":
+        import pickle
+
+        with open(os.path.join(dataroot, "meta_info.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        paths, sizes = meta["keys"], meta["resolution"]
+        if len(sizes) == 1:
+            sizes = sizes * len(paths)
+        return paths, sizes
+    raise NotImplementedError(f"data_type {data_type!r} not supported "
+                              "(img or lmdb)")
+
+
+def open_lmdb(dataroot: str):
+    """lmdb.open(readonly) equivalent over the pure-Python reader
+    (LQGT_dataset.py:58-74)."""
+    from daclip_tpu.data.lmdb import LmdbReader
+
+    return LmdbReader(dataroot)
+
+
+def _read_img_lmdb(env, key: str, size) -> np.ndarray:
+    """util.py:57-65: raw uint8 bytes keyed by name, (C, H, W) shape tuple."""
+    buf = env.get(key)
+    if buf is None:
+        raise KeyError(f"key {key!r} not found in lmdb")
+    C, H, W = size
+    return np.frombuffer(buf, dtype=np.uint8).reshape(H, W, C)
 
 
 def read_img(env, path: str, size=None) -> np.ndarray:
-    """cv2 read → float32 HWC BGR in [0,1]; grayscale gets a channel axis."""
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise FileNotFoundError(path)
+    """cv2 (or lmdb when env is given) read → float32 HWC BGR in [0,1];
+    grayscale gets a channel axis (util.py:68-85)."""
+    if env is None:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+    else:
+        img = _read_img_lmdb(env, path, size)
     img = img.astype(np.float32) / 255.0
     if img.ndim == 2:
         img = np.expand_dims(img, axis=2)

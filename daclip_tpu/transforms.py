@@ -32,6 +32,11 @@ def _to_pil(img) -> Image.Image:
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        # grayscale from channel_convert (H,W,1): the reference's
+        # Image.fromarray would crash here (latent upstream bug — its training
+        # configs never hit gray+clip together); broadcast to RGB instead
+        arr = np.repeat(arr, 3, axis=2)
     return Image.fromarray(arr)
 
 
