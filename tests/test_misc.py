@@ -114,3 +114,25 @@ def test_metric_writer(tmp_path):
     assert r["samples_per_second"] > 0
     assert r["samples_per_second_per_device"] == pytest.approx(
         r["samples_per_second"] / 4)
+
+
+def test_timm_model_gated():
+    import pytest
+
+    from daclip_tpu.models.timm_model import TimmModel
+    with pytest.raises(ImportError, match="timm"):
+        TimmModel("resnet50")
+
+
+def test_push_to_hf_hub_payload(tmp_path):
+    from daclip_tpu.tools.push_to_hf_hub import build_payload
+    import json, os
+
+    ckpt = tmp_path / "model.pt"
+    ckpt.write_bytes(b"\x00" * 16)
+    out = build_payload(str(ckpt), "daclip_ViT-B-32", str(tmp_path / "up"))
+    cfg = json.load(open(os.path.join(out, "config.json")))
+    assert cfg["model_name"] == "daclip_ViT-B-32"
+    assert cfg["model_cfg"]["embed_dim"] == 512
+    assert os.path.exists(os.path.join(out, "README.md"))
+    assert os.path.exists(os.path.join(out, "model.pt"))
