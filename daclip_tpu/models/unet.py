@@ -193,15 +193,28 @@ class CrossAttention(nn.Module):
         if ctx.shape[1] == 1 and ctx is not x:
             out = jnp.broadcast_to(v, (B, N, inner))
         else:
+            from daclip_tpu.ops.flash_attention import (
+                flash_attention_supported, flash_self_attention)
+
             q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                          param_dtype=jnp.float32, name="to_q")(x)
-            q = q.reshape(B, N, self.heads, self.dim_head)
-            k = k.reshape(B, -1, self.heads, self.dim_head)
-            v = v.reshape(B, -1, self.heads, self.dim_head)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-            attn = jax.nn.softmax(logits * (self.dim_head ** -0.5), axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
-            out = out.reshape(B, N, inner)
+            Nk = ctx.shape[1]
+            if (self.dtype == jnp.bfloat16 and Nk == N
+                    and flash_attention_supported(B, self.heads, N,
+                                                  self.dim_head)):
+                # Pallas flash path, packed (B, N, H·D) layout: never
+                # materializes the (B,H,N,N) f32 attention matrix in HBM and
+                # needs no head transposes (ops/flash_attention.py — the three
+                # SpatialTransformers were ~22% of the UNet forward)
+                out = flash_self_attention(q, k, v, self.heads, self.dim_head)
+            else:
+                q = q.reshape(B, N, self.heads, self.dim_head)
+                k = k.reshape(B, -1, self.heads, self.dim_head)
+                v = v.reshape(B, -1, self.heads, self.dim_head)
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+                attn = jax.nn.softmax(logits * (self.dim_head ** -0.5), axis=-1)
+                out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
+                out = out.reshape(B, N, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="to_out")(out)
 

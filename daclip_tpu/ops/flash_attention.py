@@ -1,0 +1,131 @@
+"""Pallas TPU flash self-attention for the UNet SpatialTransformer
+(attention.py:152-193 math — the `attn1` self-attention path).
+
+At the production config the deepest UNet level runs softmax attention over
+N = 1024 tokens × 16 heads × dim_head 32 (models/unet.py:SpatialTransformer).
+XLA materializes the (B, H, N, N) float32 logits + softmax in HBM — ≈2.1 GB
+per call at B32, making the three SpatialTransformers ~22% of the UNet forward
+(measured 10 ms each, utils/stage_profile.py).
+
+Kernel design (measured 2.9 ms vs 7.3 ms XLA for the attention core at
+B32/H16/N1024/D32):
+  * operands stay in the model's NATIVE packed layout (B, N, heads·dim_head) —
+    no (B,H,N,D) transposes, no 32→128 lane padding on the DMA streams,
+  * grid (B, N/QC): each step loads a QC-row query block plus the full K/V
+    for one batch element (K/V blocks are revisited across the QC steps, so
+    Mosaic skips their re-DMA) and statically unrolls over heads,
+  * per head: (QC, D)·(N, D)ᵀ logits on the MXU in f32, numerically-stable
+    softmax in VMEM, (QC, N)·(N, D) PV matmul, result written straight into
+    the head's lane slice of the output block — the attention matrix never
+    touches HBM.
+
+Training uses the standard fused-kernel pattern (see ops/linear_attention.py):
+Pallas forward via jax.custom_vjp, XLA-reference recompute for the backward
+(jax.checkpoint'd so the recompute transient stays off the peak).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, heads, dim_head, scale):
+    q = q_ref[0]                                        # (QC, H·D) bf16
+    k = k_ref[0]                                        # (N, H·D) bf16
+    v = v_ref[0]
+    for h in range(heads):                              # static unroll
+        s = h * dim_head
+        qh = jax.lax.slice(q, (0, s), (q.shape[0], s + dim_head))
+        kh = jax.lax.slice(k, (0, s), (k.shape[0], s + dim_head))
+        vh = jax.lax.slice(v, (0, s), (v.shape[0], s + dim_head))
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        ssum = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / ssum).astype(vh.dtype)
+        oh = jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        out_ref[0, :, s: s + dim_head] = oh.astype(out_ref.dtype)
+
+
+def _pick_qc(N: int) -> int:
+    for qc in (512, 256, 128, 64, 32, 16, 8):
+        if N % qc == 0:
+            return qc
+    return N
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "dim_head", "interpret"))
+def flash_self_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                                heads: int, dim_head: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """q/k/v (B, N, heads·dim_head) → (B, N, heads·dim_head);
+    per-head softmax(q·kᵀ/√D)·v, non-causal."""
+    B, N, HD = q.shape
+    assert HD == heads * dim_head, (HD, heads, dim_head)
+    qc = _pick_qc(N)
+    qspec = pl.BlockSpec((1, qc, HD), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, N, HD), lambda b, c: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, dim_head=dim_head,
+                          scale=dim_head ** -0.5),
+        grid=(B, N // qc),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _reference(q, k, v, heads, dim_head):
+    """XLA composition with identical semantics (backward + fallback).
+    Matches models/unet.py:CrossAttention's self-attention arithmetic."""
+    B, N, HD = q.shape
+    qh = q.reshape(B, N, heads, dim_head)
+    kh = k.reshape(B, N, heads, dim_head)
+    vh = v.reshape(B, N, heads, dim_head)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+    attn = jax.nn.softmax(logits * (dim_head ** -0.5), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(q.dtype), vh)
+    return out.reshape(B, N, HD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_self_attention(q, k, v, heads, dim_head):
+    return flash_self_attention_pallas(q, k, v, heads, dim_head)
+
+
+def _fwd(q, k, v, heads, dim_head):
+    return flash_self_attention_pallas(q, k, v, heads, dim_head), (q, k, v)
+
+
+def _bwd(heads, dim_head, res, g):
+    f = functools.partial(_reference, heads=heads, dim_head=dim_head)
+    _, vjp = jax.vjp(jax.checkpoint(f), *res)
+    return vjp(g)
+
+
+flash_self_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention_supported(B: int, heads: int, N: int, dim_head: int) -> bool:
+    """VMEM budget: q/out blocks (2·QC·HD·2B) + K/V blocks (2·N·HD·2B, double
+    buffered) + per-head logits/softmax transients (2·QC·N·4B) must stay well
+    under the 16 MB scoped limit."""
+    if jax.default_backend() == "cpu":
+        return False
+    if N % 8 or dim_head % 8 or dim_head > 128:
+        return False
+    HD = heads * dim_head
+    qc = _pick_qc(N)
+    vmem = (2 * (2 * qc * HD * 2) + 2 * (2 * N * HD * 2)
+            + 2 * qc * N * 4 + qc * max(HD, 128) * 4)
+    return vmem <= 12 * 1024 * 1024

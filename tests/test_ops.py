@@ -57,3 +57,57 @@ def test_conv3x3_supported_gate(monkeypatch):
     monkeypatch.setenv("DACLIP_TPU_PALLAS_CONV", "1")
     # cpu backend in tests -> still False
     assert not conv3x3_supported((1, 64, 64, 64), 64)
+
+
+def test_flash_attention_interpret_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.ops.flash_attention import (_reference,
+                                                flash_self_attention_pallas)
+
+    B, heads, N, D = 2, 4, 64, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, N, heads * D), jnp.float32)
+               for kk in ks)
+    got = flash_self_attention_pallas(q, k, v, heads, D, interpret=True)
+    want = _reference(q, k, v, heads, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_grad_matches_reference():
+    """custom_vjp backward == autodiff through the XLA composition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.ops import flash_attention as fa
+
+    B, heads, N, D = 1, 2, 16, 8
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, N, heads * D), jnp.float32)
+               for kk in ks)
+
+    # route the custom_vjp forward through interpret mode on CPU
+    orig = fa.flash_self_attention_pallas
+    fa_fwd = lambda q, k, v, h, d: orig(q, k, v, h, d, interpret=True)
+    fa.flash_self_attention_pallas, saved = fa_fwd, orig
+    try:
+        f_fused = lambda q, k, v: fa.flash_self_attention(q, k, v, heads, D).sum()
+        f_ref = lambda q, k, v: fa._reference(q, k, v, heads, D).sum()
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+    finally:
+        fa.flash_self_attention_pallas = saved
+
+
+def test_flash_attention_supported_gate():
+    from daclip_tpu.ops.flash_attention import flash_attention_supported
+
+    # on the CPU test backend the gate must refuse (kernel needs Mosaic)
+    assert not flash_attention_supported(32, 16, 1024, 32)
