@@ -51,6 +51,16 @@ class ChannelLayerNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+def _channel_ln(x, g, dtype, eps: float = 1e-5):
+    """Functional ChannelLayerNorm with an externally-owned gain (used when
+    the wrapper's prenorm param is applied inside LinearAttention)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class Conv1x1(nn.Module):
     """1x1 conv evaluated as a matmul over flattened pixels — ~2.6x faster than
     the TPU conv emitter for pointwise convs (measured on v5e); params keep the
@@ -123,21 +133,31 @@ class ResBlock(nn.Module):
 
 
 class LinearAttention(nn.Module):
-    """Channel linear attention (module_util.py:157-185), wrapped by the caller in
-    Residual(PreNorm(·)).  hidden = heads·dim_head = 128 for every level."""
+    """Channel linear attention (module_util.py:157-185), wrapped by the caller
+    in Residual(PreNorm(·)).  hidden = heads·dim_head = 128 for every level.
+
+    __call__(x, context, g_pre) takes the RAW (un-normalized) x when `g_pre`
+    (the wrapper's PreNorm gain) is given, and returns (out, fused):
+      * fused=True  — out is the COMPLETE Residual(PreNorm(attn)) result,
+        computed by one Pallas kernel (ops/linear_attention.py v3),
+      * fused=False — out is just the attention branch; the caller applies the
+        residual.  (When g_pre is given the prenorm is applied here.)
+    """
     heads: int = 4
     dim_head: int = 32
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, g_pre=None):
+        import os
+
         B, H, W, C = x.shape
         n = H * W
         hidden = self.heads * self.dim_head
 
         from daclip_tpu.ops.linear_attention import (
-            linear_attention_fused, linear_attention_reference,
-            linear_attention_supported)
+            attn_wrap_fused, linear_attention_fused,
+            linear_attention_reference, linear_attention_supported)
 
         qkv_mod = Conv1x1(hidden * 3, dtype=self.dtype, name="to_qkv")
         out_mod = Conv1x1(C, use_bias=True, dtype=self.dtype, name="to_out")
@@ -145,29 +165,44 @@ class LinearAttention(nn.Module):
 
         if (self.dtype == jnp.bfloat16
                 and linear_attention_supported(n, hidden)):
-            # Fully fused two-pass Pallas kernel: to_qkv matmul + attention +
-            # to_out + ChannelLayerNorm in one op, statistics/context in VMEM —
-            # ~2.6x the composed XLA path at 256² (ops/linear_attention.py).
-            # Dummy calls below materialise the child params so the tree is
-            # identical to the jnp path; their compute is dead code.
+            # Fused two-pass Pallas kernel (ops/linear_attention.py).  Dummy
+            # calls materialise the child params so the tree is identical to
+            # the jnp path; their compute is dead code.
             _ = norm_mod(out_mod(qkv_mod(
                 jnp.zeros((1, 1, 1, C), self.dtype))[..., :hidden]))
             w_qkv = qkv_mod.variables["params"]["kernel"].reshape(C, 3 * hidden)
             w_out = out_mod.variables["params"]["kernel"].reshape(hidden, C)
             b_out = out_mod.variables["params"]["bias"]
             g_out = norm_mod.variables["params"]["g"]
+            # v3 whole-wrap fusion is opt-in and MEASURED SLOWER end-to-end
+            # (chained full-forward at B32/256²: 149.6 ms vs 123.4 ms with the
+            # v2 wiring): in the full graph XLA fuses the prenorm/residual into
+            # neighbouring ops for ~free, while the kernel pays the LN
+            # recompute in both passes.  Isolated micro-benchmarks invert this
+            # — always A/B at the full-forward level.
+            if (g_pre is not None
+                    and os.environ.get("DACLIP_TPU_V3_WRAP", "0") == "1"):
+                # v3: prenorm + attention + out-proj + LN + residual in ONE op
+                out = attn_wrap_fused(
+                    x.reshape(B, n, C).astype(self.dtype),
+                    g_pre.astype(self.dtype), w_qkv.astype(self.dtype),
+                    w_out.astype(self.dtype), b_out.astype(self.dtype),
+                    g_out.astype(self.dtype))
+                return out.reshape(B, H, W, C).astype(x.dtype), True
+            xn = x if g_pre is None else _channel_ln(x, g_pre, self.dtype)
             out = linear_attention_fused(
-                x.reshape(B, n, C).astype(self.dtype),
+                xn.reshape(B, n, C).astype(self.dtype),
                 w_qkv.astype(self.dtype), w_out.astype(self.dtype),
                 b_out.astype(self.dtype), g_out.astype(self.dtype))
-            return out.reshape(B, H, W, C).astype(x.dtype)
+            return out.reshape(B, H, W, C).astype(x.dtype), False
 
-        qkv = qkv_mod(x)
+        xn = x if g_pre is None else _channel_ln(x, g_pre, self.dtype)
+        qkv = qkv_mod(xn)
         out = linear_attention_reference(
             qkv.reshape(B, n, 3 * hidden), heads=self.heads,
             dim_head=self.dim_head, dtype=self.dtype)
         out = out.reshape(B, H, W, hidden).astype(x.dtype)
-        return norm_mod(out_mod(out))
+        return norm_mod(out_mod(out)), False
 
 
 class CrossAttention(nn.Module):
@@ -287,16 +322,22 @@ class AttnWrap(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        h = ChannelLayerNorm(dtype=self.dtype, name="norm")(x)
-        if self.use_spatial:
-            h = SpatialTransformer(self.heads, self.dim_head,
-                                   context_dim=self.context_dim,
-                                   dtype=self.dtype, name="fn")(h, context=context)
-        else:
-            # the PreNorm/residual stay in XLA: fusing them into the kernel was
-            # measured SLOWER (recomputing the LN in both kernel passes costs
-            # more than the saved HBM traffic — see ops/linear_attention.py v3)
-            h = LinearAttention(dtype=self.dtype, name="fn")(h, context=context)
+        norm_mod = ChannelLayerNorm(dtype=self.dtype, name="norm")
+        if not self.use_spatial:
+            # LinearAttention gets the RAW x plus the prenorm gain: when the
+            # fused kernel is available it runs the whole
+            # Residual(PreNorm(LinearAttention)) in one op (v3,
+            # ops/linear_attention.py:attn_wrap_fused); otherwise it applies
+            # the norm itself and we add the residual here.
+            _ = norm_mod(jnp.zeros((1, 1, 1, x.shape[-1]), self.dtype))
+            g_pre = norm_mod.variables["params"]["g"]
+            out, fused = LinearAttention(dtype=self.dtype, name="fn")(
+                x, context=context, g_pre=g_pre)
+            return out if fused else out + x
+        h = norm_mod(x)
+        h = SpatialTransformer(self.heads, self.dim_head,
+                               context_dim=self.context_dim,
+                               dtype=self.dtype, name="fn")(h, context=context)
         return h + x
 
 
