@@ -111,3 +111,25 @@ def test_flash_attention_supported_gate():
 
     # on the CPU test backend the gate must refuse (kernel needs Mosaic)
     assert not flash_attention_supported(32, 16, 1024, 32)
+
+
+def test_linear_attention_v4_interpret_matches_v2():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.ops.linear_attention import (
+        linear_attention_fused_pallas, linear_attention_fused_v4)
+
+    B, n, C = 2, 2048, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, n, C), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (C, 384), jnp.float32) * 0.1
+    wout = jax.random.normal(ks[2], (128, C), jnp.float32) * 0.1
+    bout = jax.random.normal(ks[3], (C,), jnp.float32) * 0.1
+    gout = jax.random.normal(ks[4], (C,), jnp.float32)
+    a = linear_attention_fused_v4(x, wqkv, wout, bout, gout, interpret=True)
+    b = linear_attention_fused_pallas(x, wqkv, wout, bout, gout,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=1e-4)
