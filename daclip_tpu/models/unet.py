@@ -97,13 +97,32 @@ def conv(features: int, kernel: int, use_bias: bool = False, strides: int = 1,
 
 
 class Block(nn.Module):
-    """conv3x3 (no bias) → optional (scale+1)·x+shift → SiLU (module_util.py:115-129)."""
+    """conv3x3 (no bias) → optional (scale+1)·x+shift → SiLU (module_util.py:115-129).
+
+    `skip` evaluates conv(concat(x, skip)) WITHOUT materializing the concat:
+    the kernel is sliced along its input-channel axis and applied as two convs
+    summed — algebraically identical, but the (B,H,W,Cx+Cs) concat copy never
+    hits HBM (the skip-connection concats showed up as multi-ms `copy` ops in
+    the profiler trace at the production config)."""
     dim_out: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, scale_shift: Optional[Tuple] = None):
-        x = conv(self.dim_out, 3, dtype=self.dtype, name="proj")(x)
+    def __call__(self, x, scale_shift: Optional[Tuple] = None, skip=None):
+        if skip is None:
+            x = conv(self.dim_out, 3, dtype=self.dtype, name="proj")(x)
+        else:
+            m = nn.Conv(self.dim_out, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="proj")
+            Cx = x.shape[-1]
+            _ = m(jnp.zeros((1, 3, 3, Cx + skip.shape[-1]), x.dtype))
+            k = m.variables["params"]["kernel"].astype(self.dtype)
+            dn = ("NHWC", "HWIO", "NHWC")
+            pad = [(1, 1), (1, 1)]
+            x = (jax.lax.conv_general_dilated(x, k[:, :, :Cx], (1, 1), pad,
+                                              dimension_numbers=dn)
+                 + jax.lax.conv_general_dilated(skip, k[:, :, Cx:], (1, 1),
+                                                pad, dimension_numbers=dn))
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -111,13 +130,17 @@ class Block(nn.Module):
 
 
 class ResBlock(nn.Module):
-    """module_util.py:132-153: time-conditioned double conv + skip."""
+    """module_util.py:132-153: time-conditioned double conv + skip.
+
+    `skip` is the UNet skip-connection tensor: logically the block input is
+    concat(x, skip) (DenoisingUNet_arch.py:98-100 `torch.cat`), evaluated
+    concat-free via split kernels in block1/res_conv (see Block)."""
     dim_out: int
     time_emb: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time_emb: Optional[jnp.ndarray] = None):
+    def __call__(self, x, time_emb: Optional[jnp.ndarray] = None, skip=None):
         scale_shift = None
         if self.time_emb and time_emb is not None:
             h = nn.silu(time_emb)
@@ -125,11 +148,35 @@ class ResBlock(nn.Module):
                          param_dtype=jnp.float32, name="mlp")(h)
             h = h[:, None, None, :]
             scale_shift = jnp.split(h, 2, axis=-1)
-        h = Block(self.dim_out, dtype=self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, dtype=self.dtype, name="block1")(x, scale_shift,
+                                                                 skip=skip)
         h = Block(self.dim_out, dtype=self.dtype, name="block2")(h)
-        if x.shape[-1] != self.dim_out:
-            x = conv(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
-        return h + x
+        in_ch = x.shape[-1] + (0 if skip is None else skip.shape[-1])
+        if in_ch != self.dim_out:
+            res = Conv1x1Pair(self.dim_out, dtype=self.dtype,
+                              name="res_conv")(x, skip)
+        else:
+            res = x
+        return h + res
+
+
+class Conv1x1Pair(nn.Module):
+    """Conv1x1 over a logical concat(x, skip) without the concat (kernel kept
+    in the (1,1,Cx+Cs,O) checkpoint shape)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        B, H, W, Cx = x.shape
+        Cin = Cx + (0 if skip is None else skip.shape[-1])
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, Cin, self.features), jnp.float32)
+        w = kernel.reshape(Cin, self.features).astype(self.dtype)
+        y = jnp.dot(x.reshape(-1, Cx), w[:Cx])
+        if skip is not None:
+            y = y + jnp.dot(skip.reshape(-1, Cin - Cx), w[Cx:])
+        return y.reshape(B, H, W, self.features)
 
 
 class LinearAttention(nn.Module):
@@ -444,14 +491,27 @@ class ConditionalUNet(nn.Module):
                dtype=self.dtype, name="mid_attn")(x, context=image_context)
         x = RB(mid, dtype=self.dtype, name="mid_block2")(x, t)
 
+        import os
+        # Concat-free skip convolutions are opt-in and MEASURED SLOWER end to
+        # end (chained full-forward at B32/256²: 150.1 ms vs 121.8 ms): two
+        # half-width convs lose more conv-emitter/MXU efficiency than the
+        # skip-concat copy costs.  Mechanism kept for future emitters.
+        split_skip = os.environ.get("DACLIP_TPU_SPLIT_SKIP", "0") == "1"
+
+        def rb_with_skip(block, x, skip):
+            # conv(concat(x, skip)), optionally concat-free (see Block.skip)
+            if split_skip:
+                return block(x, t, skip)
+            return block(jnp.concatenate([x, skip], axis=-1), t)
+
         for i in reversed(range(depth)):
             dim_in, dim_out = nf * ch[i], nf * ch[i + 1]
             spatial = (self.use_image_context and cdim > 0
                        and i >= self.spatial_attn_min_level)
-            x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = RB(dim_out, dtype=self.dtype, name=f"up{i}_block1")(x, t)
-            x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = RB(dim_out, dtype=self.dtype, name=f"up{i}_block2")(x, t)
+            x = rb_with_skip(RB(dim_out, dtype=self.dtype,
+                                name=f"up{i}_block1"), x, hs.pop())
+            x = rb_with_skip(RB(dim_out, dtype=self.dtype,
+                                name=f"up{i}_block2"), x, hs.pop())
             x = AW(spatial, heads=dim_out // 32, context_dim=cdim,
                    dtype=self.dtype, name=f"up{i}_attn")(
                 x, context=image_context)
@@ -463,8 +523,8 @@ class ConditionalUNet(nn.Module):
         if self.scale == 0.5:
             x = Upsample2x(nf, dtype=self.dtype, name="post_up")(x)
 
-        x = jnp.concatenate([x, x_skip], axis=-1)
-        x = RB(nf, dtype=self.dtype, name="final_res_block")(x, t)
+        x = rb_with_skip(RB(nf, dtype=self.dtype, name="final_res_block"),
+                         x, x_skip)
         x = nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32, name="final_conv")(x)
         return x[:, :Hh, :Ww, :].astype(jnp.float32)
