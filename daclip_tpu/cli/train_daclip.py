@@ -198,7 +198,7 @@ def main(argv=None):
         for i, batch in enumerate(loader):
             dev = {k: jax.device_put(np.asarray(v), shard)
                    for k, v in batch.items() if isinstance(v, np.ndarray)}
-            state, m = step_fn(state, dev)
+            state, m = step_fn(state, dev, frozen)
             losses.append(float(m["total_loss"]))
             if (i + 1) % 10 == 0:
                 sps = (i + 1) * args.batch_size / (time.time() - t0)

@@ -93,16 +93,22 @@ def init_state(params_trainable, cfg: ClipTrainConfig) -> ClipTrainState:
 
 def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
                     banks: Optional[Tuple] = None):
-    """Returns train_step(state, batch) -> (state, metrics).
+    """Returns train_step(state, batch, frozen=None) -> (state, metrics).
 
     batch: dict with images (B,H,W,3), texts (B,154) int32 [--da concat],
     gt_images, deg_type (B,4), gt_val (B,4).  `banks` = (bin_center_bank (4,7),
     all_d_type_tokens (28,77)) constants (fork variant).
+
+    The frozen CLIP params should be passed PER CALL (the `frozen` argument of
+    the returned step) so they enter the jitted program as device arguments;
+    `frozen_params` here is only a default.  Closing them into the trace would
+    inline ~150M f32 weights as HLO constants — a ~600 MB program that blows
+    compile memory/time (and the axon remote-compile size limit).
     """
     tx = make_optimizer(cfg, None)
-    frozen = jax.tree.map(jnp.asarray, frozen_params)
+    default_frozen = frozen_params
 
-    def loss_fn(trainable, batch):
+    def loss_fn(trainable, batch, frozen):
         params = {"params": merge_params(
             trainable, jax.tree.map(jax.lax.stop_gradient, frozen))}
         kwargs = {}
@@ -119,9 +125,11 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
         total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
         return total, losses
 
-    def train_step(state: ClipTrainState, batch):
+    def train_step(state: ClipTrainState, batch, frozen=None):
+        if frozen is None:
+            frozen = default_frozen
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, frozen)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # clamp logit_scale to [0, ln(100)] (train.py:187-189)
