@@ -131,8 +131,6 @@ class LmdbReader:
     def keys(self) -> Iterator[bytes]:
         if self._root == P_INVALID:
             return
-        stack = [self._root]
-        out: List[bytes] = []
 
         def walk(pgno):
             base, flags, nkeys, _ = self._page(pgno)

@@ -203,8 +203,11 @@ def generate(
                             logits * repetition_penalty)
             logits = jnp.where(seen > 0, pen, logits)
         logits = warp(logits)
-        k = jax.random.fold_in(key, i)
-        sample = jax.random.categorical(k, logits / temperature, axis=-1)
+        if generation_type == "greedy":
+            sample = jnp.argmax(logits, axis=-1)
+        else:
+            k = jax.random.fold_in(key, i)
+            sample = jax.random.categorical(k, logits / temperature, axis=-1)
         # force EOS on the final position (coca_model.py:272-275)
         sample = jnp.where(i == seq_len - 1,
                            jnp.asarray(eos_token_id, sample.dtype), sample)

@@ -111,3 +111,15 @@ def test_coca_loss_integration(coca):
     gd = jax.tree.map(lambda x: float(jnp.abs(x).sum()), g)
     flat = jax.tree.leaves(gd)
     assert all(np.isfinite(v) for v in flat) and sum(flat) > 0
+
+
+def test_coca_generate_greedy_is_argmax(coca):
+    """generation_type='greedy' must be deterministic argmax decoding —
+    independent of the PRNG key."""
+    model, variables = coca
+    img = jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    a = generate(model, variables, img, jax.random.PRNGKey(0), seq_len=8,
+                 generation_type="greedy")
+    b = generate(model, variables, img, jax.random.PRNGKey(123), seq_len=8,
+                 generation_type="greedy")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
