@@ -67,6 +67,7 @@ class RestorerConfig:
     buckets_step: int = 64
     tile_size: int = 512                  # tiled sampling threshold/size
     tile_overlap: int = 64
+    tile_batch: int = 8                   # tiles sampled per device program
 
 
 class DACLIPRestorer:
@@ -227,10 +228,23 @@ class DACLIPRestorer:
             return [array2img(outs[i]) for i in range(len(images_rgb))]
         return [np.clip(outs[i], 0, 1) for i in range(len(images_rgb))]
 
+    def shard_tiles(self, mesh, axis: str = "data"):
+        """Shard tiled sampling over a device mesh: tile batches are laid out
+        on `axis` so each chip restores its own tiles SPMD — a single high-res
+        image scales across chips (batch-of-tiles data parallelism; see
+        SURVEY.md §5 'long-context': spatial pressure → tiling, sharded).
+        Pass tile_batch as a multiple of the axis size."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._tile_sharding = NamedSharding(mesh, PartitionSpec(axis))
+        return self
+
     def _restore_tiled(self, image_rgb, key, img_ctx, degra_ctx):
         """Overlap-tiled sampling with feathered blending for high-res inputs
         (the TPU answer to Wild-IR's full-image processing — SURVEY.md §5
-        'long-context')."""
+        'long-context').  Tiles are sampled as BATCHES of cfg.tile_batch in one
+        device program (much better chip utilisation than per-tile calls), and
+        the batch is sharded over a mesh when `shard_tiles` was called."""
         H, W = image_rgb.shape[:2]
         ts, ov = self.cfg.tile_size, self.cfg.tile_overlap
         stride = ts - ov
@@ -245,17 +259,31 @@ class DACLIPRestorer:
             ys.append(H - ts)
         if xs[-1] + ts < W:
             xs.append(W - ts)
+        coords, tiles = [], []
         for yi in ys:
             for xi in xs:
                 tile = image_rgb[yi: yi + ts, xi: xi + ts]
                 th, tw = tile.shape[:2]
                 pt = np.pad(tile, ((0, ts - th), (0, ts - tw), (0, 0)),
                             mode="reflect") if (th < ts or tw < ts) else tile
-                k = jax.random.fold_in(key, yi * W + xi)
-                out = np.asarray(self._sample(jnp.asarray(pt[None], jnp.float32),
-                                              k, degra_ctx, img_ctx))[0]
+                coords.append((yi, xi, th, tw))
+                tiles.append(pt)
+        bs = max(1, self.cfg.tile_batch)
+        sharding = getattr(self, "_tile_sharding", None)
+        for s in range(0, len(tiles), bs):
+            chunk = tiles[s: s + bs]
+            n = len(chunk)
+            if n < bs:  # pad to the compiled batch shape (outputs discarded)
+                chunk = chunk + [chunk[-1]] * (bs - n)
+            dev = jnp.asarray(np.stack(chunk), jnp.float32)
+            if sharding is not None:
+                dev = jax.device_put(dev, sharding)
+            out = np.asarray(self._sample(dev, jax.random.fold_in(key, s),
+                                          degra_ctx, img_ctx))
+            for j in range(n):
+                yi, xi, th, tw = coords[s + j]
                 w = win2d[:th, :tw]
-                acc[yi: yi + th, xi: xi + tw] += out[:th, :tw] * w
+                acc[yi: yi + th, xi: xi + tw] += out[j, :th, :tw] * w
                 wacc[yi: yi + th, xi: xi + tw] += w
         return acc / np.maximum(wacc, 1e-8)
 

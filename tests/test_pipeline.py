@@ -69,3 +69,24 @@ def test_classify_degradation(tiny_restorer):
                                                                        "rainy"])
     assert name in ("noisy", "rainy")
     assert abs(sum(probs.values()) - 1.0) < 1e-3
+
+
+def test_restore_tiled_sharded_matches_unsharded(tiny_restorer):
+    """Tile batches sharded over the virtual 8-device mesh produce the same
+    image as the single-device path (SPMD is a layout, not a math change)."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import Mesh
+
+    r = tiny_restorer
+    rng = np.random.RandomState(0)
+    img = rng.rand(150, 100, 3).astype(np.float32)
+    a = r.restore(img, seed=3, return_uint8=False)
+
+    r2 = DACLIPRestorer(dataclasses.replace(r.cfg, tile_batch=8),
+                        r.unet_params, r.daclip_params)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    r2.shard_tiles(mesh)
+    b = r2.restore(img, seed=3, return_uint8=False)
+    np.testing.assert_allclose(a, b, atol=2e-3)
