@@ -195,13 +195,21 @@ class LmdbWriter:
             self._file = os.path.join(path, "data.mdb")
         else:
             self._file = path
-        self._items: Dict[bytes, bytes] = {}
+        # values are spooled to disk as they arrive; only (offset, length)
+        # per key stays in memory — packing a multi-GB image set must not
+        # hold the whole dataset in RAM
+        self._spool_path = self._file + ".spool"
+        self._spool = open(self._spool_path, "w+b")
+        self._items: Dict[bytes, Tuple[int, int]] = {}
         self._map_size = map_size
 
     def put(self, key, value):
         if isinstance(key, str):
             key = key.encode("ascii")
-        self._items[bytes(key)] = bytes(value)
+        value = bytes(value)
+        off = self._spool.seek(0, 2)
+        self._spool.write(value)
+        self._items[bytes(key)] = (off, len(value))
 
     # -- tree construction ---------------------------------------------------
     def close(self):
@@ -242,11 +250,18 @@ class LmdbWriter:
             return bytes(buf)
 
         # 1. leaves (+ overflow)
+        self._spool.flush()
+
+        def fetch(key: bytes) -> bytes:
+            off, vlen = self._items[key]
+            self._spool.seek(off)
+            return self._spool.read(vlen)
+
         self._big_sizes = {}
         keys = sorted(self._items)
         leaves: List[Tuple[bytes, int]] = []  # (first_key, pgno)
         cur_nodes, cur_space = [], PAGESIZE - PAGEHDRSZ
-        ov_chunks: List[Tuple[int, bytes]] = []
+        ov_chunks: List[Tuple[int, bytes]] = []  # (pgno, key) — streamed later
 
         def flush_leaf():
             nonlocal cur_nodes, cur_space, n_leaf
@@ -259,17 +274,17 @@ class LmdbWriter:
             cur_nodes, cur_space = [], PAGESIZE - PAGEHDRSZ
 
         for k in keys:
-            v = self._items[k]
-            if NODESZ + len(k) + len(v) > NODEMAX:
-                self._big_sizes[k] = len(v)
+            vlen = self._items[k][1]
+            if NODESZ + len(k) + vlen > NODEMAX:
+                self._big_sizes[k] = vlen
                 # overflow chain: header + data over ceil((16+len)/psize) pages
-                novp = -(-(PAGEHDRSZ + len(v)) // PAGESIZE)
+                novp = -(-(PAGEHDRSZ + vlen) // PAGESIZE)
                 ovpg = alloc(novp)
                 n_ov += novp
-                ov_chunks.append((ovpg, v))
+                ov_chunks.append((ovpg, k))
                 payload, nflags = struct.pack("<Q", ovpg), F_BIGDATA
             else:
-                payload, nflags = v, 0
+                payload, nflags = fetch(k), 0
             sz = NODESZ + len(k) + len(payload)
             sz += sz & 1
             if sz + 2 > cur_space:
@@ -339,13 +354,21 @@ class LmdbWriter:
             for pgno, data in sorted(pages.items()):
                 f.seek(pgno * PAGESIZE)
                 f.write(data)
-            for ovpg, v in ov_chunks:
+            for ovpg, k in ov_chunks:
+                off, vlen = self._items[k]
                 f.seek(ovpg * PAGESIZE)
                 buf = bytearray(PAGEHDRSZ)
-                novp = -(-(PAGEHDRSZ + len(v)) // PAGESIZE)
+                novp = -(-(PAGEHDRSZ + vlen) // PAGESIZE)
                 struct.pack_into("<QHHI", buf, 0, ovpg, 0, P_OVERFLOW, novp)
                 f.write(buf)
-                f.write(v)
+                self._spool.seek(off)
+                remaining = vlen
+                while remaining:
+                    chunk = self._spool.read(min(remaining, 1 << 22))
+                    f.write(chunk)
+                    remaining -= len(chunk)
+        self._spool.close()
+        os.unlink(self._spool_path)
 
     def __enter__(self):
         return self

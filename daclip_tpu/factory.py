@@ -69,9 +69,16 @@ def create_model(
     """
     model_name = model_name.replace("/", "-")
     is_daclip = "daclip" in model_name
-    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
-             "amp_bf16": jnp.bfloat16, "fp16": jnp.bfloat16,
-             "amp": jnp.bfloat16}[precision]
+    # reference precision choices (training/params.py:190-193 + open_clip's
+    # pure_* variants); fp16 flavours map to bf16 — the TPU-native half type
+    _PRECISIONS = {"fp32": jnp.float32, "amp": jnp.bfloat16,
+                   "amp_bf16": jnp.bfloat16, "amp_bfloat16": jnp.bfloat16,
+                   "bf16": jnp.bfloat16, "pure_bf16": jnp.bfloat16,
+                   "fp16": jnp.bfloat16, "pure_fp16": jnp.bfloat16}
+    if precision not in _PRECISIONS:
+        raise ValueError(f"unknown precision {precision!r}; supported: "
+                         f"{sorted(_PRECISIONS)}")
+    dtype = _PRECISIONS[precision]
 
     if "coca" in model_name:  # factory.py:186-190 CoCa dispatch
         return _create_coca(model_name, pretrained, dtype, cache_dir, seed)

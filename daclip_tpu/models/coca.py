@@ -61,7 +61,8 @@ class CoCaCfg:
              if k in {f.name for f in dataclasses.fields(MultimodalCfg)}}
         return CoCaCfg(embed_dim=base.embed_dim, vision=base.vision,
                        text=base.text, multimodal=MultimodalCfg(**m),
-                       quick_gelu=base.quick_gelu)
+                       quick_gelu=base.quick_gelu,
+                       pad_id=base.text.pad_id)  # text_cfg.pad_id is canonical
 
 
 class CoCa(nn.Module):
@@ -168,7 +169,10 @@ def generate(
         variables, image, method=model._encode_image)
 
     tokens0 = jnp.full((B, seq_len), pad_id, jnp.int32).at[:, 0].set(sot_token_id)
-    seen0 = jax.nn.one_hot(tokens0[:, 0], vocab, dtype=jnp.float32)
+    use_penalty = repetition_penalty != 1.0
+    # the (B, vocab) seen-token mask is only needed by the repetition penalty
+    seen0 = (jax.nn.one_hot(tokens0[:, 0], vocab, dtype=jnp.float32)
+             if use_penalty else jnp.zeros((B, 1), jnp.float32))
 
     def logits_fn(tokens):
         out = model.apply(variables, image, tokens, embed_cls=False,
@@ -197,7 +201,7 @@ def generate(
         # MinLengthLogitsProcessor (coca_model.py:196-200)
         logits = logits.at[:, eos_token_id].set(
             jnp.where(i < min_seq_len, -jnp.inf, logits[:, eos_token_id]))
-        if repetition_penalty != 1.0:
+        if use_penalty:
             # RepetitionPenaltyLogitsProcessor over already-emitted tokens
             pen = jnp.where(logits > 0, logits / repetition_penalty,
                             logits * repetition_penalty)
@@ -215,8 +219,9 @@ def generate(
         done = done | (prev == eos_token_id) | ((prev == pad_id) & (i > 1))
         sample = jnp.where(done, jnp.asarray(pad_id, sample.dtype), sample)
         tokens = tokens.at[:, i].set(sample.astype(jnp.int32))
-        seen = jnp.maximum(seen, jax.nn.one_hot(sample, vocab,
-                                                dtype=jnp.float32))
+        if use_penalty:
+            seen = jnp.maximum(seen, jax.nn.one_hot(sample, vocab,
+                                                    dtype=jnp.float32))
         return (tokens, seen, done), None
 
     (tokens, _, _), _ = jax.lax.scan(

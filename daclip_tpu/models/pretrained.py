@@ -97,11 +97,21 @@ def _expected_sha256(url: str) -> str:
     return ""
 
 
+def _sha256_file(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def download_pretrained_from_url(url: str,
                                  cache_dir: Optional[str] = None) -> str:
     """sha256-verified cached download (pretrained.py:334-380).  Raises
     URLError in egress-free environments — callers should point `pretrained`
-    at a local file instead."""
+    at a local file instead.  Downloads go to a temp file and are renamed into
+    the cache only after (verified) completion, so an interrupted transfer
+    never poisons the cache."""
     if not cache_dir:
         cache_dir = os.path.expanduser("~/.cache/clip")
     os.makedirs(cache_dir, exist_ok=True)
@@ -113,20 +123,23 @@ def download_pretrained_from_url(url: str,
     if os.path.isfile(target):
         if not expected:
             return target
-        digest = hashlib.sha256(open(target, "rb").read()).hexdigest()
-        if digest.startswith(expected):
+        if _sha256_file(target).startswith(expected):
             return target
         warnings.warn(f"{target} exists but sha256 mismatches; re-downloading")
-    with urllib.request.urlopen(url) as src, open(target, "wb") as out:
-        while True:
-            buf = src.read(1 << 20)
-            if not buf:
-                break
-            out.write(buf)
-    if expected:
-        digest = hashlib.sha256(open(target, "rb").read()).hexdigest()
-        if not digest.startswith(expected):
+    tmp = target + ".part"
+    try:
+        with urllib.request.urlopen(url) as src, open(tmp, "wb") as out:
+            while True:
+                buf = src.read(1 << 20)
+                if not buf:
+                    break
+                out.write(buf)
+        if expected and not _sha256_file(tmp).startswith(expected):
             raise RuntimeError("downloaded checkpoint fails sha256 verification")
+        os.replace(tmp, target)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return target
 
 
