@@ -61,6 +61,57 @@ def replicate_tree(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def make_mesh_tp(data: int = -1, fsdp: int = 1, model: int = 1,
+                 devices=None) -> Mesh:
+    """3-D ('data', 'fsdp', 'model') mesh for DP × ZeRO × tensor parallelism.
+    TP is an EXTENSION beyond reference parity (the reference is DP-only,
+    SURVEY.md §2.4) — a free win of the GSPMD design for scaling the towers."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % (fsdp * model) == 0, (n, fsdp, model)
+        data = n // (fsdp * model)
+    assert data * fsdp * model == n, f"mesh {data}x{fsdp}x{model} != {n}"
+    return Mesh(devices.reshape(data, fsdp, model), ("data", "fsdp", "model"))
+
+
+# Megatron-style classification of transformer projection params by the name
+# of their owning module: column-parallel (shard output features) and
+# row-parallel (shard input features).  GSPMD inserts the all-reduce after the
+# row-parallel matmul automatically — annotations only, no manual collectives.
+_TP_COL = {"in_proj", "c_fc", "q_proj", "k_proj", "v_proj", "ff_geglu",
+           "to_q", "to_k", "to_v"}
+_TP_ROW = {"out_proj", "c_proj", "ff_out"}
+
+
+def tp_param_shardings(params, mesh: Mesh, axis: str = "model"):
+    """Tensor-parallel NamedShardings for a transformer param tree (works on
+    the scanned (L, ...) stacked layout): column-parallel kernels/biases shard
+    their last dim, row-parallel kernels shard their second-to-last dim;
+    everything else (embeddings, norms, heads) replicates over `axis`."""
+    from jax.tree_util import tree_map_with_path
+
+    n = mesh.shape[axis]
+
+    def spec(path, x):
+        if n == 1:
+            return NamedSharding(mesh, P())
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        parent = names[-2] if len(names) >= 2 else ""
+        leaf = names[-1] if names else ""
+        s = [None] * x.ndim
+        if parent in _TP_COL and x.shape[-1] % n == 0:
+            s[-1] = axis
+        elif parent in _TP_ROW and leaf == "kernel" and x.ndim >= 2 \
+                and x.shape[-2] % n == 0:
+            s[-2] = axis
+        else:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*s))
+
+    return tree_map_with_path(spec, params)
+
+
 def fsdp_param_shardings(params, mesh: Mesh, min_size: int = 2 ** 16):
     """ZeRO-style shardings: shard each parameter ≥min_size along its largest
     axis divisible by the fsdp mesh dim; smaller params replicate."""

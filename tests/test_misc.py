@@ -136,3 +136,38 @@ def test_push_to_hf_hub_payload(tmp_path):
     assert cfg["model_cfg"]["embed_dim"] == 512
     assert os.path.exists(os.path.join(out, "README.md"))
     assert os.path.exists(os.path.join(out, "model.pt"))
+
+
+def test_tensor_parallel_clip_forward_matches_replicated():
+    """TP param shardings over the 'model' axis are layout-only: the sharded
+    forward must equal the replicated one (GSPMD inserts the collectives)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.factory import create_model
+    from daclip_tpu.parallel.mesh import (make_mesh_tp, replicate_tree,
+                                          shard_batch, tp_param_shardings)
+
+    model, params = create_model("test-tiny")
+    img = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3), jnp.float32)
+    txt = jnp.asarray(np.random.RandomState(1).randint(1, 100, (4, 16)),
+                      jnp.int32)
+    want = model.apply({"params": params}, img, txt)
+
+    mesh = make_mesh_tp(data=2, fsdp=1, model=4)
+    specs = tp_param_shardings(params, mesh)
+    # at least the attention/MLP kernels must actually shard
+    flat = jax.tree.leaves(specs)
+    assert any(s.spec != () and any(x is not None for x in s.spec)
+               for s in flat)
+    sharded = jax.device_put(params, specs)
+    bsh = shard_batch(mesh)
+    out = jax.jit(lambda p, i, t: model.apply({"params": p}, i, t))(
+        sharded, jax.device_put(img, bsh), jax.device_put(txt, bsh))
+    np.testing.assert_allclose(np.asarray(out["image_features"]),
+                               np.asarray(want["image_features"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["text_features"]),
+                               np.asarray(want["text_features"]),
+                               atol=1e-5, rtol=1e-5)
