@@ -14,7 +14,21 @@ at C256/64px (44 vs 45 TF/s) and loses at C64/256px (14 vs 24 TF/s — the 64→
 channel padding doubles both MACs and DMA traffic).  `conv3x3_supported`
 therefore returns False unless DACLIP_TPU_PALLAS_CONV=1; the kernel is kept as
 tested infrastructure for future epilogue-fusion work (scale-shift + SiLU +
-residual inside the conv epilogue would remove HBM round trips XLA can't)."""
+residual inside the conv epilogue would remove HBM round trips XLA can't).
+
+Further variants PROTOTYPED AND REJECTED (chained full-size timing vs the
+emitter's ~5.0 ms at B32/C64/256²):
+  * 576-wide lane-concat im2col — Mosaic rejects concat of slices with
+    differing sublane offsets ("offset mismatch on non-concat dimension");
+  * dy-concat (192-wide, matching offsets) — compiles, 9.6 ms (relayouts);
+  * 3 separately-DMA'd dy strips (aligned concat) — DMA slices need 128-lane
+    tiles, C=64 strips are rejected outright;
+  * paired-lane layout ((B,H,W/2,2C): two pixels per 128-lane tile, 9 clean
+    (·,128)×(128,128) block matmuls, zero relayouts) — correct but 7.4 ms:
+    the 2× block-fill FLOP overhead outruns the MXU-utilisation gain.
+Conclusion: the conv emitter is the practical floor for these shapes on this
+generation; revisit only with a fundamentally different angle (e.g. fused
+multi-conv epilogues amortising the DMA, or wider output channels)."""
 from __future__ import annotations
 
 import functools
