@@ -137,6 +137,12 @@ def main(argv=None):
         log.info("loaded pretrained weights from %s", args.pretrained)
 
     trainable, frozen = partition_daclip_params(params)
+    # device-resident frozen tree, replicated over the mesh: passed to the
+    # step per call (so it is a jit ARGUMENT, not a baked constant) — as host
+    # numpy it would re-upload ~600 MB of CLIP weights every single step, and
+    # an uncommitted single-device tree conflicts with the mesh-sharded batch
+    repl = NamedSharding(mesh, P())
+    frozen = jax.device_put(jax.tree.map(jnp.asarray, frozen), repl)
     steps_per_epoch = max(len(loader), 1)
     cfg = ClipTrainConfig(
         lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps, wd=args.wd,
@@ -164,9 +170,27 @@ def main(argv=None):
         rdir = ckpt_dir if args.resume == "latest" else args.resume
         step = latest_step(rdir)
         if step is not None:
-            restored = restore_checkpoint(rdir, step)
-            state = state._replace(params=jax.tree.map(
-                jnp.asarray, restored["params"]))
+            # optimizer moments + step counter resume too (main.py:426-459
+            # parity — without these, Adam statistics reset and the warmup
+            # replays from step 0 after every resume).  Structured restore
+            # (target=) rebuilds the optax state pytree; fall back to a
+            # params-only restore for old-format checkpoints.
+            try:
+                restored = restore_checkpoint(
+                    rdir, step, target={"params": state.params,
+                                        "opt_state": state.opt_state,
+                                        "step": state.step, "frozen": frozen,
+                                        "epoch": 0})
+                state = state._replace(params=restored["params"],
+                                       opt_state=restored["opt_state"],
+                                       step=jnp.asarray(restored["step"]))
+            except Exception:
+                restored = restore_checkpoint(rdir, step)
+                state = state._replace(params=jax.tree.map(
+                    jnp.asarray, restored["params"]))
+            # restored arrays come back committed to one device; replicate
+            # over the mesh so they don't conflict with the sharded batch
+            state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
             start_epoch = int(restored.get("epoch", step))
             log.info("resumed from %s epoch %d", rdir, start_epoch)
         elif args.resume != "latest":
@@ -208,15 +232,14 @@ def main(argv=None):
         log.info("epoch %d done: mean loss %.4f", epoch, epoch_loss)
         if val_ds is not None:
             run_val(state)
+        ckpt_tree = {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step, "frozen": frozen, "epoch": epoch + 1}
         if (epoch + 1) % args.save_frequency == 0:
-            save_checkpoint(ckpt_dir, epoch + 1,
-                            {"params": state.params, "frozen": frozen,
-                             "epoch": epoch + 1}, max_to_keep=3)
+            save_checkpoint(ckpt_dir, epoch + 1, ckpt_tree, max_to_keep=3)
         if epoch_loss < best_loss:   # best-by-train-loss (main.py:443-448)
             best_loss = epoch_loss
             save_checkpoint(os.path.join(ckpt_dir, "best"), epoch + 1,
-                            {"params": state.params, "frozen": frozen,
-                             "epoch": epoch + 1}, max_to_keep=1)
+                            ckpt_tree, max_to_keep=1)
     log.info("training complete; best epoch loss %.4f", best_loss)
 
 

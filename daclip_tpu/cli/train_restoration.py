@@ -95,6 +95,12 @@ def main(argv=None):
         weight_decay_G=float(train_opt.get("weight_decay_G") or 0.0),
         loss_type=train_opt.get("loss_type", "l1"),
         weight=float(train_opt.get("weight", 1.0)),
+        # warm-restart schedule keys (lr_scheduler.py:8-44 parity)
+        restarts=tuple(train_opt.get("restarts") or ()),
+        restart_weights=tuple(train_opt.get("restart_weights") or ()),
+        is_weighted=bool(train_opt.get("is_weighted", False)),
+        grad_clip=(float(train_opt["gradient_clipping"])
+                   if train_opt.get("gradient_clipping") else None),
     )
     sde_opt = opt["sde"] or {}
     sde = IRSDE(max_sigma=sde_opt.get("max_sigma", 50), T=sde_opt.get("T", 100),
@@ -181,7 +187,11 @@ def main(argv=None):
                        and jax.default_backend() != "cpu") else ())
     step_fn = jax.jit(full_step, donate_argnums=donate)
 
-    train_loader, val_ds = build_dataloaders(opt)
+    # per-host data sharding: each host feeds a distinct stripe of the global
+    # batch (IterSampler host striding; identical feeds would silently
+    # replicate samples across the GSPMD global batch)
+    train_loader, val_ds = build_dataloaders(
+        opt, num_hosts=jax.process_count(), host_id=jax.process_index())
     val_freq = int(train_opt.get("val_freq", 1e4))
     save_freq = int((opt["logger"] or {}).get("save_checkpoint_freq", 1e4))
     print_freq = int((opt["logger"] or {}).get("print_freq", 200))

@@ -209,7 +209,11 @@ class IRSDE:
         k_t, k_n = jax.random.split(key)
         if timesteps is None:
             batch = x0.shape[0]
-            hi = self.T + 1 if T_end <= 1 else T_end + 1
+            # the schedule tables have sample_T+1 entries; the reference draws
+            # up to self.T (sde_utils.py:364), which equals sample_T in every
+            # training config (sample_T is an inference-only knob there, and
+            # t > sample_T would IndexError in torch / silently clamp here)
+            hi = self.sample_T + 1 if T_end <= 1 else T_end + 1
             timesteps = jax.random.randint(
                 k_t, (batch,) + (1,) * (x0.ndim - 1), T_start, hi, dtype=jnp.int32)
         state_mean = self.mu_bar(mu, x0, timesteps)

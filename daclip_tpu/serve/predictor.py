@@ -30,6 +30,8 @@ class Predictor:
         import cv2
 
         img = cv2.imread(str(image))
+        if img is None:
+            raise FileNotFoundError(f"cannot read image {image!r}")
         rgb = img[:, :, ::-1].astype(np.float32) / 255.0
         out_bgr = self.restorer.restore(rgb, seed=seed or 0)
         if out_path is None:

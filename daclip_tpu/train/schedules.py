@@ -33,12 +33,13 @@ def multistep_restart(base_lr: float, milestones: Sequence[int],
     restarts = list(restarts or [])
     restart_weights = list(restart_weights or [1.0] * len(restarts))
     assert len(restarts) == len(restart_weights)
-    milestones = np.asarray(sorted(milestones), np.int32)
-    rst = np.asarray(sorted(restarts), np.int32)
+    milestones = jnp.asarray(sorted(milestones), jnp.int32)
+    rst = jnp.asarray(sorted(restarts), jnp.int32) if restarts else None
 
     def schedule(step):
         step = jnp.asarray(step, jnp.int32)
-        # which restart segment are we in?
+        # which restart segment are we in?  (jnp indexing — `step` is traced
+        # under jit, numpy arrays would raise TracerArrayConversionError)
         seg = jnp.sum(step >= rst) if len(restarts) else 0
         seg_start = jnp.where(seg > 0, rst[jnp.maximum(seg - 1, 0)], 0) \
             if len(restarts) else 0

@@ -161,3 +161,50 @@ def test_checkpoint_roundtrip(tmp_path, resto_setup):
     got = jax.tree.leaves(restored["params"])
     want = jax.tree.leaves(state.params)
     assert all(np.allclose(a, b) for a, b in zip(got, want))
+
+
+def test_multistep_restart_under_jit():
+    """Regression: restart lookup must be jnp-indexed (a numpy array indexed
+    with a traced step raises TracerArrayConversionError)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.train.schedules import multistep_restart
+
+    sched = multistep_restart(2e-4, milestones=[10, 20], gamma=0.5,
+                              restarts=[15], restart_weights=[0.7])
+    f = jax.jit(sched)
+    np.testing.assert_allclose(float(f(jnp.asarray(0))), 2e-4)
+    np.testing.assert_allclose(float(f(jnp.asarray(12))), 1e-4)   # 1 milestone
+    np.testing.assert_allclose(float(f(jnp.asarray(16))), 2e-4 * 0.7)  # restart
+    np.testing.assert_allclose(float(f(jnp.asarray(25))),
+                               2e-4 * 0.7 * 0.5)  # milestone 20 after restart
+
+
+def test_clip_train_state_checkpoint_roundtrip(tmp_path):
+    """Optimizer moments + step survive save/restore (resume parity,
+    training/main.py:426-459)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.train.clip_train import ClipTrainConfig, init_state
+    from daclip_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"w": jnp.ones((4, 4)), "logit_scale": jnp.asarray(2.0)}
+    cfg = ClipTrainConfig(lr=1e-3, total_steps=100)
+    state = init_state(params, cfg)
+    # perturb so the roundtrip is non-trivial
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step, "epoch": 3}
+    save_checkpoint(str(tmp_path / "ck"), 3, tree)
+    restored = restore_checkpoint(
+        str(tmp_path / "ck"), 3,
+        target={"params": state.params, "opt_state": state.opt_state,
+                "step": state.step, "epoch": 0})
+    assert int(restored["step"]) == 7
+    assert int(restored["epoch"]) == 3
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                        restored["opt_state"], state.opt_state)
