@@ -47,6 +47,17 @@ def psf_kernel(rng: Optional[random.Random] = None):
     return (rng or random).choice(_psf_dictionary())
 
 
+def _np_rng(rng) -> "np.random.RandomState":
+    """Numpy generator derived from the caller's python Random — so a seeded
+    dataset rng also determines the numpy draws (kernel noise, gaussian /
+    poisson noise, stage permutations).  With rng=None the global np.random is
+    used, matching the reference's behavior (deg_util.py uses np.random
+    throughout and is NOT reproducible; seeding is our extension)."""
+    if rng is None or rng is random:
+        return np.random
+    return np.random.RandomState(rng.randrange(2 ** 31))
+
+
 def mesh_grid(kernel_size: int):
     ax = np.arange(-kernel_size // 2 + 1.0, kernel_size // 2 + 1.0)
     xx, yy = np.meshgrid(ax, ax)
@@ -123,7 +134,7 @@ def random_bivariate_Gaussian(kernel_size, sigma_x_range, sigma_y_range,
                                  isotropic, rng)
     kernel = bivariate_Gaussian(kernel_size, sx, sy, th, isotropic=isotropic)
     if noise_range is not None:  # multiplicative kernel noise (deg_util.py:178-221)
-        noise = np.random.uniform(noise_range[0], noise_range[1],
+        noise = _np_rng(rng).uniform(noise_range[0], noise_range[1],
                                   size=kernel.shape)
         kernel = kernel * noise
     return kernel / np.sum(kernel)
@@ -144,7 +155,7 @@ def random_bivariate_generalized_Gaussian(kernel_size, sigma_x_range,
     kernel = bivariate_generalized_Gaussian(kernel_size, sx, sy, th, beta,
                                             isotropic=isotropic)
     if noise_range is not None:
-        kernel = kernel * np.random.uniform(*noise_range, size=kernel.shape)
+        kernel = kernel * _np_rng(rng).uniform(*noise_range, size=kernel.shape)
     return kernel / np.sum(kernel)
 
 
@@ -160,7 +171,7 @@ def random_bivariate_plateau(kernel_size, sigma_x_range, sigma_y_range,
         beta = rng.uniform(1, beta_range[1])
     kernel = bivariate_plateau(kernel_size, sx, sy, th, beta, isotropic=isotropic)
     if noise_range is not None:
-        kernel = kernel * np.random.uniform(*noise_range, size=kernel.shape)
+        kernel = kernel * _np_rng(rng).uniform(*noise_range, size=kernel.shape)
     return kernel / np.sum(kernel)
 
 
@@ -282,19 +293,20 @@ def random_mixed_kernels(kernel_list: Sequence[str], kernel_prob: Sequence[float
 
 # -- noise -------------------------------------------------------------------------
 
-def generate_gaussian_noise(img, sigma=10, gray_noise=False):
+def generate_gaussian_noise(img, sigma=10, gray_noise=False, rng=None):
+    nr = _np_rng(rng)
     if gray_noise:
-        noise = np.random.randn(*img.shape[:2]).astype(np.float32) * sigma / 255.0
+        noise = nr.randn(*img.shape[:2]).astype(np.float32) * sigma / 255.0
         noise = noise[..., None].repeat(3, axis=2) if img.ndim == 3 else noise
     else:
-        noise = np.random.randn(*img.shape).astype(np.float32) * sigma / 255.0
+        noise = nr.randn(*img.shape).astype(np.float32) * sigma / 255.0
     return noise
 
 
 def add_gaussian_noise(img, sigma=10, clip=True, rounds=False, gray_noise=False,
                        rng=None):
     """deg_util.py:585-605; img float [0,1]."""
-    noise = generate_gaussian_noise(img, sigma, gray_noise)
+    noise = generate_gaussian_noise(img, sigma, gray_noise, rng)
     out = img + noise
     if clip and rounds:
         out = np.clip((out * 255.0).round(), 0, 255) / 255.0
@@ -310,10 +322,10 @@ def random_add_gaussian_noise(img, sigma_range=(0, 1.0), gray_prob=0, clip=True,
     rng = rng or random
     sigma = rng.uniform(*sigma_range)
     gray = rng.random() < gray_prob
-    return add_gaussian_noise(img, sigma, clip, rounds, gray)
+    return add_gaussian_noise(img, sigma, clip, rounds, gray, rng)
 
 
-def generate_poisson_noise(img, scale=1.0, gray_noise=False):
+def generate_poisson_noise(img, scale=1.0, gray_noise=False, rng=None):
     """deg_util.py:707-733 (basicsr algorithm)."""
     if gray_noise and img.ndim == 3:
         base = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_BGR2GRAY) / 255.0
@@ -322,15 +334,16 @@ def generate_poisson_noise(img, scale=1.0, gray_noise=False):
     base = np.clip((base * 255.0).round(), 0, 255) / 255.0
     vals = len(np.unique(base))
     vals = 2 ** np.ceil(np.log2(vals))
-    out = np.float32(np.random.poisson(base * vals) / float(vals))
+    out = np.float32(_np_rng(rng).poisson(base * vals) / float(vals))
     noise = out - base
     if gray_noise and img.ndim == 3:
         noise = noise[..., None].repeat(3, axis=2)
     return noise * scale
 
 
-def add_poisson_noise(img, scale=1.0, clip=True, rounds=False, gray_noise=False):
-    noise = generate_poisson_noise(img, scale, gray_noise)
+def add_poisson_noise(img, scale=1.0, clip=True, rounds=False, gray_noise=False,
+                      rng=None):
+    noise = generate_poisson_noise(img, scale, gray_noise, rng)
     out = img + noise
     if clip and rounds:
         out = np.clip((out * 255.0).round(), 0, 255) / 255.0
@@ -346,7 +359,7 @@ def random_add_poisson_noise(img, scale_range=(0, 1.0), gray_prob=0, clip=True,
     rng = rng or random
     scale = rng.uniform(*scale_range)
     gray = rng.random() < gray_prob
-    return add_poisson_noise(img, scale, clip, rounds, gray)
+    return add_poisson_noise(img, scale, clip, rounds, gray, rng)
 
 
 # -- jpeg --------------------------------------------------------------------------
@@ -584,9 +597,10 @@ def random_degrade(img, blur_prob=0.8, resize_prob=0.8, noise_prob=0.4,
     h, w, _ = img.shape
     img = np.asarray(img, np.float32)
 
-    first = np.random.permutation(["blur", "resize", "noise", "jpeg"])
-    second = np.random.permutation(["blur", "noise"])
-    third = np.random.permutation(["blur", "resize", "jpeg"])
+    nr = _np_rng(rng)
+    first = nr.permutation(["blur", "resize", "noise", "jpeg"])
+    second = nr.permutation(["blur", "noise"])
+    third = nr.permutation(["blur", "resize", "jpeg"])
     resize_flag = rng.random() < resize_prob
 
     for deg_type in first:

@@ -170,9 +170,12 @@ def daclip_loss_fork(out: Dict, l1_loss_weight: float = 0.1,
         loss_non = (jnp.square(pred * mn).sum()) / (mn.sum() + 1e-8)
         reg_ls = loss_exist + loss_non
 
-    fcrc = fcrc_loss(out["image_degra_features"],
-                     out["all_d_type_tokens_features"], out["gt_val"],
-                     out["bin_center_features"], out["deg_type"], temperature)
+    fcrc = 0.0
+    if out.get("all_d_type_tokens_features") is not None:  # predictor active
+        fcrc = fcrc_loss(out["image_degra_features"],
+                         out["all_d_type_tokens_features"], out["gt_val"],
+                         out["bin_center_features"], out["deg_type"],
+                         temperature)
     if output_dict:
         return {"contrastive_loss": c, "gt_l1_loss": gt_l1,
                 "reg_ls_loss": reg_ls, "fcrc_loss": fcrc}

@@ -197,29 +197,33 @@ class DACLIPRestorer:
 
         outs: Dict[int, np.ndarray] = {}
         key = jax.random.PRNGKey(seed)
-        for bucket, idxs in groups.items():
+        for gi, (bucket, idxs) in enumerate(groups.items()):
             if bucket[0] == "tiled":
                 i = bucket[1]
                 outs[i] = self.restore(images_rgb[i], seed=seed,
                                        return_uint8=False)
                 continue
             bh, bw = bucket
-            batch, ctx_i, ctx_d = [], [], []
+            res = self.daclip.cfg.vision.image_size
+            batch, views = [], []
             for i in idxs:
                 img = images_rgb[i]
                 H, W = img.shape[:2]
                 batch.append(np.pad(img, ((0, bh - H), (0, bw - W), (0, 0)),
                                     mode="reflect")
                              if (bh != H or bw != W) else img)
-                ic, dc = self.contexts(img)
-                ctx_i.append(None if ic is None else np.asarray(ic[0]))
-                ctx_d.append(None if dc is None else np.asarray(dc[0]))
+                views.append(clip_transform(img, res))
+            # ONE batched CLIP encode for the whole group (per-image batch-1
+            # encodes cost B separate device dispatches for identical results)
+            ictx, dctx = self._encode(jnp.asarray(np.stack(views)))
+            if not self.cfg.use_image_context:
+                ictx = None
+            if not self.cfg.use_degra_context:
+                dctx = None
             lq = jnp.asarray(np.stack(batch), jnp.float32)
-            ictx = (jnp.asarray(np.stack(ctx_i))
-                    if ctx_i[0] is not None else None)
-            dctx = (jnp.asarray(np.stack(ctx_d))
-                    if ctx_d[0] is not None else None)
-            out = np.asarray(self._sample(lq, jax.random.fold_in(key, bh * bw),
+            # fold in the group ORDINAL: bucket dims can collide (64·128 ==
+            # 128·64) and would correlate noise across groups
+            out = np.asarray(self._sample(lq, jax.random.fold_in(key, gi),
                                           dctx, ictx))
             for j, i in enumerate(idxs):
                 H, W = images_rgb[i].shape[:2]
@@ -250,9 +254,12 @@ class DACLIPRestorer:
         stride = ts - ov
         acc = np.zeros((H, W, 3), np.float64)
         wacc = np.zeros((H, W, 1), np.float64)
-        ramp = np.minimum(np.arange(1, ts + 1), ov) / ov
-        win2d = np.minimum.outer(np.minimum(ramp, ramp[::-1]),
-                                 np.minimum(ramp, ramp[::-1]))[..., None]
+        if ov > 0:
+            ramp = np.minimum(np.arange(1, ts + 1), ov) / ov
+            win2d = np.minimum.outer(np.minimum(ramp, ramp[::-1]),
+                                     np.minimum(ramp, ramp[::-1]))[..., None]
+        else:  # tile_overlap=0: hard tile edges, uniform weights (no 0/0 NaN)
+            win2d = np.ones((ts, ts, 1))
         ys = list(range(0, max(H - ts, 0) + 1, stride)) or [0]
         xs = list(range(0, max(W - ts, 0) + 1, stride)) or [0]
         if ys[-1] + ts < H:

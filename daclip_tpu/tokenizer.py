@@ -60,10 +60,11 @@ def _get_pairs(word):
 
 
 def _clean(text: str) -> str:
+    # basic_clean (tokenizer.py:50-54): ftfy.fix_text then EXACTLY two
+    # unescapes (the fallback must not add extra unescapes, or tokens diverge
+    # between hosts with and without ftfy)
     if ftfy is not None:
         text = ftfy.fix_text(text)
-    else:
-        text = html.unescape(html.unescape(text))
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()

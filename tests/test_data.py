@@ -185,3 +185,22 @@ def test_array2img_rounding():
     out = metrics.array2img(x)
     assert out.dtype == np.uint8
     assert out[0, 0, 2] == 0 and out[0, 0, 1] == 1  # BGR flip + round-half
+
+
+def test_random_degrade_seeded_deterministic():
+    """A seeded rng must determine ALL stochastic draws (incl. the numpy ones:
+    stage permutations, kernel noise, gaussian/poisson noise)."""
+    import random
+
+    import numpy as np
+
+    from daclip_tpu.data.degradations import random_degrade
+
+    img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    a = random_degrade(img.copy(), rng=random.Random(7))
+    # perturb the global numpy RNG between runs — must not matter
+    np.random.rand(100)
+    b = random_degrade(img.copy(), rng=random.Random(7))
+    np.testing.assert_array_equal(a, b)
+    c = random_degrade(img.copy(), rng=random.Random(8))
+    assert not np.array_equal(a, c)
