@@ -409,7 +409,11 @@ def degrade(img, deg_type: str, param: float = 15, rng=None):
     if deg_type == "noisy":
         return add_gaussian_noise(img, sigma=param)
     if deg_type == "blur":
-        kernel = random_mixed_kernels(["iso"], [1], kernel_size=int(param), rng=rng)
+        # reference quirk (deg_util.py:199-211): in THIS path the "kernel
+        # size" argument is repurposed as the Gaussian SIGMA — the level
+        # parameter directly controls blur strength — on a FIXED 21×21 grid
+        kernel = bivariate_Gaussian(21, float(param), float(param), 0.0,
+                                    isotropic=True)
         return cv2.filter2D(img, -1, kernel)
     if deg_type == "jpeg":
         return add_jpg_compression(img, param)

@@ -104,22 +104,25 @@ class DataLoader:
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
         if self.num_workers > 0:
+            # per-SAMPLE futures over a shared pool (2 batches of lookahead):
+            # all num_workers threads decode concurrently — a per-batch task
+            # would serialize the samples inside it and cap parallelism at the
+            # lookahead depth regardless of the worker count
             with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
                 pending = collections.deque()
                 it = iter(batches)
-                # keep ≤2 batches in flight (double buffering)
                 for _ in range(2):
                     b = next(it, None)
                     if b is not None:
-                        pending.append(ex.submit(
-                            lambda bb: _collate([self.dataset[i] for i in bb]), b))
+                        pending.append([ex.submit(self.dataset.__getitem__, i)
+                                        for i in b])
                 while pending:
-                    fut = pending.popleft()
+                    futs = pending.popleft()
                     b = next(it, None)
                     if b is not None:
-                        pending.append(ex.submit(
-                            lambda bb: _collate([self.dataset[i] for i in bb]), b))
-                    yield fut.result()
+                        pending.append([ex.submit(self.dataset.__getitem__, i)
+                                        for i in b])
+                    yield _collate([f.result() for f in futs])
         else:
             for b in batches:
                 yield _collate([self.dataset[i] for i in b])

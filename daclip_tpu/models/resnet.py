@@ -119,6 +119,13 @@ class ModifiedResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, control=None, output_hiddens: bool = False):
+        if control is not None or output_hiddens:
+            # the DA-CLIP controller is transformer-only in the reference too
+            # (ControlTransformer wraps Transformer, transformer.py:288-325);
+            # failing loudly beats silently dropping the control injection
+            raise NotImplementedError(
+                "ModifiedResNet does not support the DA-CLIP controller "
+                "(control/output_hiddens); use a ViT vision tower")
         w = self.width
         for i, (feat, stride) in enumerate([(w // 2, 2), (w // 2, 1), (w, 1)]):
             x = _conv(feat, 3, stride, name=f"stem_conv{i + 1}",

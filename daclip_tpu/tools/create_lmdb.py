@@ -21,16 +21,22 @@ def create_lmdb(input_dir: str, output_dir: str, verbose: bool = True):
     from daclip_tpu.data.util import get_paths_from_images
 
     paths = sorted(get_paths_from_images(input_dir))
+    # keys are extension-less basenames (the reference's meta_info convention);
+    # the recursive walk can produce duplicates (a/0001.png vs b/0001.png) —
+    # fall back to relative paths so nothing silently overwrites
+    base_keys = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    if len(set(base_keys)) != len(base_keys):
+        base_keys = [os.path.splitext(os.path.relpath(p, input_dir))[0]
+                     .replace(os.sep, "/") for p in paths]
     keys, sizes = [], []
     os.makedirs(output_dir, exist_ok=True)
     with LmdbWriter(output_dir) as w:
-        for i, p in enumerate(paths):
+        for i, (p, key) in enumerate(zip(paths, base_keys)):
             img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
             if img is None:
                 raise FileNotFoundError(p)
             if img.ndim == 2:
                 img = img[:, :, None]
-            key = os.path.splitext(os.path.basename(p))[0]
             H, W, C = img.shape
             w.put(key, img.tobytes())
             keys.append(key)

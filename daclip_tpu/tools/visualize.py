@@ -59,7 +59,7 @@ def plot_projection(feats, labels, out_path: str, method: str = "tsne",
         lo, hi = levels.min(), max(levels.max(), levels.min() + 1e-6)
         alpha = 0.3 + 0.7 * (levels - lo) / (hi - lo)
         ax.scatter(proj[idx, 0], proj[idx, 1], s=10,
-                   color=cmap[base], alpha=None, label=base)
+                   color=cmap[base], alpha=alpha, label=base)
     ax.legend(markerscale=2, fontsize=8)
     ax.set_title(f"degradation embeddings ({method})")
     fig.savefig(out_path, dpi=200, bbox_inches="tight")

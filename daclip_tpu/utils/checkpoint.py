@@ -21,13 +21,44 @@ def _manager(directory: str, max_to_keep: Optional[int] = None) -> ocp.Checkpoin
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
 
+# async saves need a LIVE manager (close() joins pending writes); cache one
+# per directory and drain them at exit
+_live_managers = {}
+
+
+def _async_manager(directory: str, max_to_keep) -> ocp.CheckpointManager:
+    key = (os.path.abspath(directory), max_to_keep)
+    if key not in _live_managers:
+        _live_managers[key] = _manager(directory, max_to_keep)
+    return _live_managers[key]
+
+
+def wait_all():
+    """Join all outstanding async checkpoint writes."""
+    for mgr in _live_managers.values():
+        mgr.wait_until_finished()
+
+
+import atexit  # noqa: E402
+
+atexit.register(lambda: [m.wait_until_finished() or m.close()
+                         for m in _live_managers.values()])
+
+
 def save_checkpoint(directory: str, step: int, tree: Any,
                     max_to_keep: Optional[int] = None, wait: bool = True):
-    mgr = _manager(directory, max_to_keep)
-    mgr.save(step, args=ocp.args.StandardSave(tree))
+    """wait=False overlaps serialization with subsequent training steps (the
+    orbax async-save flow, training/main.py:454-459's atomic-save analogue);
+    the manager is kept alive in a per-directory cache since closing it would
+    join the write.  Call `wait_all()` (or rely on atexit) to drain."""
     if wait:
+        mgr = _manager(directory, max_to_keep)
+        mgr.save(step, args=ocp.args.StandardSave(tree))
         mgr.wait_until_finished()
-    mgr.close()
+        mgr.close()
+    else:
+        mgr = _async_manager(directory, max_to_keep)
+        mgr.save(step, args=ocp.args.StandardSave(tree))
 
 
 def latest_step(directory: str) -> Optional[int]:
