@@ -256,8 +256,10 @@ def main(argv=None):
             if val_freq and step % val_freq == 0:
                 run_val(state, step)
             if ckpt_dir and save_freq and step % save_freq == 0:
-                save_checkpoint(ckpt_dir, step, state, max_to_keep=5)
-                log.info("saved checkpoint @ %d", step)
+                # async: overlaps serialization with the next steps
+                save_checkpoint(ckpt_dir, step, state, max_to_keep=5,
+                                wait=False)
+                log.info("saving checkpoint @ %d (async)", step)
         epoch += 1
     if ckpt_dir:
         save_checkpoint(ckpt_dir, step, state, max_to_keep=5)

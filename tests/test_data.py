@@ -204,3 +204,18 @@ def test_random_degrade_seeded_deterministic():
     np.testing.assert_array_equal(a, b)
     c = random_degrade(img.copy(), rng=random.Random(8))
     assert not np.array_equal(a, c)
+
+
+def test_degrade_blur_param_is_sigma():
+    """degrade('blur', p): p is the Gaussian sigma on a fixed 21x21 grid
+    (deg_util.py:199-211's repurposed argument) — strength monotone in p and
+    p<1 valid."""
+    import numpy as np
+
+    from daclip_tpu.data.degradations import degrade
+
+    img = np.random.RandomState(0).rand(48, 48, 3).astype(np.float32)
+    grads = [float(np.abs(np.diff(degrade(img, "blur", p), axis=0)).mean())
+             for p in (0.5, 1.0, 2.0, 4.0)]
+    assert grads == sorted(grads, reverse=True)
+    assert np.isfinite(degrade(img, "blur", 0.5)).all()
