@@ -48,17 +48,16 @@ atexit.register(lambda: [m.wait_until_finished() or m.close()
 def save_checkpoint(directory: str, step: int, tree: Any,
                     max_to_keep: Optional[int] = None, wait: bool = True):
     """wait=False overlaps serialization with subsequent training steps (the
-    orbax async-save flow, training/main.py:454-459's atomic-save analogue);
-    the manager is kept alive in a per-directory cache since closing it would
-    join the write.  Call `wait_all()` (or rely on atexit) to drain."""
+    orbax async-save flow, training/main.py:454-459's atomic-save analogue).
+
+    ALL saves for a directory go through one cached live manager: a second
+    manager over the same directory races the first one's in-flight tmp dirs
+    (observed as 'Directory not empty' during its cleanup pass).  wait=True
+    drains that manager's queue after submitting."""
+    mgr = _async_manager(directory, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(tree))
     if wait:
-        mgr = _manager(directory, max_to_keep)
-        mgr.save(step, args=ocp.args.StandardSave(tree))
         mgr.wait_until_finished()
-        mgr.close()
-    else:
-        mgr = _async_manager(directory, max_to_keep)
-        mgr.save(step, args=ocp.args.StandardSave(tree))
 
 
 def latest_step(directory: str) -> Optional[int]:
