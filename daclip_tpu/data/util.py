@@ -205,17 +205,18 @@ def _resize_weights(in_len: int, out_len: int, scale: float, antialias=True):
     else:
         w = _cubic(dist)
     w = w / np.sum(w, axis=1, keepdims=True)
-    # clamp out-of-range indices (replicate border, like MATLAB's symmetric fold
-    # approximation used by the reference implementation)
-    idx = np.clip(idx, 0, in_len - 1).astype(np.int64)
+    # MATLAB symmetric boundary fold (reference util.py:314-340 pads with
+    # flipped copies): 0-based index -1 → 0, -2 → 1, in_len → in_len-1, …
+    aux = np.concatenate([np.arange(in_len), np.arange(in_len - 1, -1, -1)])
+    idx = aux[np.mod(idx.astype(np.int64), 2 * in_len)]
     # drop all-zero weight columns
     keep = ~np.all(w == 0, axis=0)
     return w[:, keep], idx[:, keep]
 
 
 def imresize_np(img: np.ndarray, scale: float, antialiasing: bool = True) -> np.ndarray:
-    """MATLAB-style bicubic resize of HWC float imagery (util.py:344-399 parity to
-    ~1e-3 — index folding at borders uses clamping rather than reflection)."""
+    """MATLAB-style bicubic resize of HWC float imagery (reference
+    util.py:344-399 parity incl. symmetric border folding)."""
     squeeze = False
     if img.ndim == 2:
         img = img[:, :, None]

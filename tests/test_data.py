@@ -62,9 +62,8 @@ def test_imresize_matches_reference():
                             True).numpy().transpose(1, 2, 0)
         got = dutil.imresize_np(img, scale, True)
         assert got.shape == want.shape
-        # interior matches tightly; border handling differs (clamp vs fold)
-        c = 2
-        np.testing.assert_allclose(got[c:-c, c:-c], want[c:-c, c:-c], atol=2e-3)
+        # full-frame match incl. borders (symmetric fold parity)
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_degrade_four_types():
