@@ -25,7 +25,8 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from daclip_tpu.models import CLIP, CLIPCfg, DaCLIP, get_model_config
+from daclip_tpu.models import (CLIP, CLIPCfg, CustomTextCLIP, DaCLIP,
+                               get_model_config)
 from daclip_tpu.models.pretrained import (download_pretrained,
                                           get_pretrained_cfg)
 from daclip_tpu.tokenizer import tokenize
@@ -59,6 +60,10 @@ def create_model(
     use_predictor: Optional[bool] = None,
     cache_dir: Optional[str] = None,
     seed: int = 0,
+    force_quick_gelu: bool = False,
+    force_custom_text: bool = False,
+    force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[int] = None,
 ) -> Tuple[Any, Any]:
     """Build (model_def, params).
 
@@ -83,12 +88,28 @@ def create_model(
     if "coca" in model_name:  # factory.py:186-190 CoCa dispatch
         return _create_coca(model_name, pretrained, dtype, cache_dir, seed)
 
-    cfg = CLIPCfg.from_dict(get_model_config(model_name))
+    model_dict = get_model_config(model_name)
+    # config overrides (reference factory.py:160-170)
+    if force_quick_gelu:
+        model_dict["quick_gelu"] = True
+    if force_patch_dropout is not None:
+        model_dict.setdefault("vision_cfg", {})["patch_dropout"] = force_patch_dropout
+    if force_image_size is not None:
+        model_dict.setdefault("vision_cfg", {})["image_size"] = force_image_size
+    cfg = CLIPCfg.from_dict(model_dict)
+    # custom_text dispatch (factory.py:183-194): daclip keeps the standard CLIP
+    # inner model even when its config says custom_text (:190-192)
+    custom_text = (cfg.custom_text or force_custom_text
+                   or bool(cfg.text.hf_model_name)) and not is_daclip
 
     if use_predictor is None:
         use_predictor = False
-    model = (DaCLIP(cfg, use_predictor=use_predictor, dtype=dtype)
-             if is_daclip else CLIP(cfg, dtype=dtype))
+    if is_daclip:
+        model = DaCLIP(cfg, use_predictor=use_predictor, dtype=dtype)
+    elif custom_text:
+        model = CustomTextCLIP(cfg, dtype=dtype)
+    else:
+        model = CLIP(cfg, dtype=dtype)
     params = _init_params(model, cfg, seed, is_daclip,
                           use_predictor and is_daclip)
 
@@ -159,11 +180,19 @@ def create_model_and_transforms(
     image_mean=None,
     image_std=None,
     seed: int = 0,
+    force_quick_gelu: bool = False,
+    force_custom_text: bool = False,
+    force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[int] = None,
 ):
     """(model_def, params, preprocess_train, preprocess_val) —
     factory.py:312-360."""
     model, params = create_model(model_name, pretrained, precision,
-                                 use_predictor, cache_dir, seed=seed)
+                                 use_predictor, cache_dir, seed=seed,
+                                 force_quick_gelu=force_quick_gelu,
+                                 force_custom_text=force_custom_text,
+                                 force_patch_dropout=force_patch_dropout,
+                                 force_image_size=force_image_size)
     cfg = model.cfg
     tag_cfg = (get_pretrained_cfg(model_name, pretrained)
                if pretrained and not Path(str(pretrained)).exists() else {})

@@ -1,4 +1,4 @@
-from daclip_tpu.models.clip import (CLIP, CLIPCfg, DaCLIP,
+from daclip_tpu.models.clip import (CLIP, CLIPCfg, CustomTextCLIP, DaCLIP,
                                     MultiTypeDegradationPredictor, TextCfg,
                                     VisionCfg, add_model_config,
                                     get_model_config, list_models)
@@ -10,7 +10,7 @@ from daclip_tpu.models.transformer import (AttentionalPooler,
                                            VisionTransformer)
 
 __all__ = [
-    "CLIP", "CLIPCfg", "DaCLIP", "MultiTypeDegradationPredictor",
+    "CLIP", "CLIPCfg", "CustomTextCLIP", "DaCLIP", "MultiTypeDegradationPredictor",
     "TextCfg", "VisionCfg", "add_model_config", "get_model_config", "list_models",
     "CoCa", "CoCaCfg", "MultimodalCfg", "coca_generate",
     "AttentionalPooler", "MultimodalTransformer",

@@ -40,6 +40,20 @@ class VisionCfg:
     n_queries: int = 256
     attn_pooler_heads: int = 8
     output_tokens: bool = False
+    # train-time patch dropout fraction (model.py:33; set via the factory's
+    # force_patch_dropout or a config's patch_dropout key)
+    patch_dropout: float = 0.0
+    # LayerScale init (ViT-M-16-alt.json; transformer.py:36-44)
+    ls_init_value: Optional[float] = None
+    # timm vision tower keys (convnext_*/swin_*/EVA*/vit_*_224 configs) —
+    # carried so get_model_config round-trips; building one raises the gated
+    # torch-only-dependency error from models/timm_model.py
+    timm_model_name: Optional[str] = None
+    timm_model_pretrained: bool = False
+    timm_pool: str = "avg"
+    timm_proj: str = "linear"
+    timm_drop: float = 0.0
+    timm_drop_path: Optional[float] = None
 
     @property
     def is_resnet(self) -> bool:
@@ -64,6 +78,11 @@ class TextCfg:
     embed_cls: bool = False
     pad_id: int = 0
     output_tokens: bool = False
+    # HF text tower keys (roberta-/mt5-/xlm-roberta- configs; hf_model.py:46-193)
+    hf_model_name: Optional[str] = None
+    hf_tokenizer_name: Optional[str] = None
+    proj: str = "linear"
+    pooler_type: str = "mean_pooler"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +91,9 @@ class CLIPCfg:
     vision: VisionCfg = dataclasses.field(default_factory=VisionCfg)
     text: TextCfg = dataclasses.field(default_factory=TextCfg)
     quick_gelu: bool = False
+    # standalone-text-tower variant (model.py:267-320; factory.py:183-194 sets
+    # this for custom_text configs and any hf_model_name text tower)
+    custom_text: bool = False
 
     @staticmethod
     def from_dict(d: Dict) -> "CLIPCfg":
@@ -80,7 +102,8 @@ class CLIPCfg:
         t = {k: v for k, v in d.get("text_cfg", {}).items()
              if k in {f.name for f in dataclasses.fields(TextCfg)}}
         return CLIPCfg(embed_dim=d["embed_dim"], vision=VisionCfg(**v),
-                       text=TextCfg(**t), quick_gelu=bool(d.get("quick_gelu", False)))
+                       text=TextCfg(**t), quick_gelu=bool(d.get("quick_gelu", False)),
+                       custom_text=bool(d.get("custom_text", False)))
 
 
 # -- model config registry (data mirrors open_clip/model_configs/*.json) -----------
@@ -161,6 +184,13 @@ _MODEL_CONFIGS["coca_test-tiny"] = {
 for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14", "test-tiny"]:
     _MODEL_CONFIGS[f"daclip_{_name}"] = _MODEL_CONFIGS[_name]
 
+# full vendored registry — the reference's open_clip/model_configs/*.json
+# (63 files, config data only); the literals above take precedence.
+_ASSET_CONFIG_DIR = pathlib.Path(__file__).parent.parent / "assets" / "model_configs"
+if _ASSET_CONFIG_DIR.is_dir():
+    for _f in sorted(_ASSET_CONFIG_DIR.glob("*.json")):
+        _MODEL_CONFIGS.setdefault(_f.stem, json.loads(_f.read_text()))
+
 
 def list_models():
     return sorted(_MODEL_CONFIGS)
@@ -191,7 +221,10 @@ class CLIP(nn.Module):
 
     def setup(self):
         v = self.cfg.vision
-        if v.is_resnet:   # model.py:113-121: list layers → ModifiedResNet
+        if v.timm_model_name:  # model.py:100-111 timm dispatch
+            from daclip_tpu.models.timm_model import TimmModel
+            self.visual = TimmModel(v.timm_model_name)  # raises: torch-only dep
+        elif v.is_resnet:   # model.py:113-121: list layers → ModifiedResNet
             from daclip_tpu.models.resnet import ModifiedResNet
             self.visual = ModifiedResNet(
                 layers=tuple(v.layers), output_dim=self.cfg.embed_dim,
@@ -202,8 +235,9 @@ class CLIP(nn.Module):
                 image_size=v.image_size, patch_size=v.patch_size, width=v.width,
                 layers=v.layers, heads=v.heads, mlp_ratio=v.mlp_ratio,
                 output_dim=self.cfg.embed_dim, quick_gelu=self.cfg.quick_gelu,
-                global_average_pool=v.global_average_pool, remat=self.remat,
-                dtype=self.dtype)
+                global_average_pool=v.global_average_pool,
+                patch_dropout=v.patch_dropout, ls_init_value=v.ls_init_value,
+                remat=self.remat, dtype=self.dtype)
         t = self.cfg.text
         self.text = TextTransformer(
             context_length=t.context_length, vocab_size=t.vocab_size,
@@ -221,8 +255,13 @@ class CLIP(nn.Module):
                                    keepdims=True).astype(x.dtype)
 
     def encode_image(self, image, normalize: bool = False, control=None,
-                     output_hiddens: bool = False):
-        out = self.visual(image, control=control, output_hiddens=output_hiddens)
+                     output_hiddens: bool = False, train: bool = False):
+        # `train` enables PatchDropout in the ViT tower (needs a
+        # 'patch_dropout' rng); the ResNet tower has no train-time behavior.
+        kw = {"train": True} if (train and isinstance(self.visual,
+                                                      VisionTransformer)) else {}
+        out = self.visual(image, control=control, output_hiddens=output_hiddens,
+                          **kw)
         if output_hiddens:
             return self._norm(out[0], normalize), out[1]
         return self._norm(out, normalize)
@@ -238,6 +277,37 @@ class CLIP(nn.Module):
             if text is not None else None,
             "logit_scale": jnp.exp(self.logit_scale),
         }
+
+
+class CustomTextCLIP(CLIP):
+    """Standalone-text-tower CLIP (model.py:267-320).
+
+    In torch the distinction is state-dict layout (text params under a `text.`
+    module vs inlined on the model); this functional library already keeps the
+    text tower as its own param subtree (`text/…`), so the non-HF behavior is
+    identical to `CLIP` — the class exists for API/converter parity and hosts
+    the HF-text-tower dispatch (hf_model.py towers are torch/Flax-transformers
+    hybrids; compose them via models/hf_text.py:HFTextTower, which needs local
+    HF weights — no egress here)."""
+
+    def setup(self):
+        t = self.cfg.text
+        if t.hf_model_name:
+            raise ImportError(
+                f"HF text tower {t.hf_model_name!r} requires local transformers "
+                "weights; compose daclip_tpu.models.hf_text.HFTextTower with "
+                "this model's visual tower instead (see models/hf_text.py "
+                "docstring).")
+        super().setup()
+
+    def lock_image_tower(self):
+        """LiT locking is the optimizer's job in this functional design: pass
+        the param-path predicate to train/clip_train.py's partition (the
+        reference mutates requires_grad in place, model.py:288-290)."""
+        return lambda path: path and path[0] == "visual"
+
+    def lock_text_tower(self):
+        return lambda path: path and path[0] == "text"
 
 
 class MultiTypeDegradationPredictor(nn.Module):

@@ -79,6 +79,62 @@ class MultiheadAttention(nn.Module):
                         name="out_proj")(out)
 
 
+class ScaledCosineAttention(nn.Module):
+    """open_clip's custom `Attention` (transformer.py:87-160): optional
+    scaled-cosine logits (Swin-v2 style — L2-normalised q/k with a learned
+    per-head temperature clamped at `logit_scale_max`) and optional per-head
+    output scaling.  Not used by any shipped model config (only
+    CustomResidualAttentionBlock consumes it upstream) but part of the
+    SURVEY §2.1 surface; parity-tested against the torch module."""
+    width: int
+    heads: int
+    scaled_cosine: bool = True
+    scale_heads: bool = False
+    logit_scale_max: float = 4.6051701859880914  # math.log(1/0.01)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        B, N, D = x.shape
+        H = self.heads
+        hd = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, hd)
+        k = k.reshape(B, N, H, hd)
+        v = v.reshape(B, N, H, hd)
+        if self.scaled_cosine:
+            logit_scale = self.param(
+                "logit_scale",
+                lambda _: jnp.full((H, 1, 1), jnp.log(10.0), jnp.float32))
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            qf = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True),
+                                  1e-12)
+            kf = kf / jnp.maximum(jnp.linalg.norm(kf, axis=-1, keepdims=True),
+                                  1e-12)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+            scale = jnp.exp(jnp.minimum(logit_scale, self.logit_scale_max))
+            logits = logits * scale[None]
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            logits = logits * (hd ** -0.5)
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        if self.scale_heads:
+            head_scale = self.param("head_scale", nn.initializers.ones,
+                                    (H, 1, 1), jnp.float32)
+            # per-head scalar scaling (reference broadcasts (H,1,1) over the
+            # head-major view)
+            out = out * head_scale.reshape(1, 1, H, 1).astype(out.dtype)
+        out = out.reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="out_proj")(out)
+
+
 class CrossMultiheadAttention(nn.Module):
     """torch nn.MultiheadAttention with distinct query and key/value sources
     (and optionally kdim != embed_dim — separate q/k/v projections, the layout

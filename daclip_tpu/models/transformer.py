@@ -39,17 +39,27 @@ class ResidualAttentionBlock(nn.Module):
     mlp_ratio: float = 4.0
     quick_gelu: bool = False
     controller: bool = False
+    ls_init_value: Optional[float] = None  # LayerScale (transformer.py:36-44)
     dtype: Dtype = jnp.float32
+
+    def _ls(self, name):
+        if self.ls_init_value is None:
+            return lambda y: y
+        gamma = self.param(name, nn.initializers.constant(self.ls_init_value),
+                           (self.width,), jnp.float32)
+        return lambda y: y * gamma.astype(y.dtype)
 
     @nn.compact
     def __call__(self, x, inputs):
         ctrl, mask = inputs
-        x = x + MultiheadAttention(self.width, self.heads, dtype=self.dtype,
-                                   name="attn")(LayerNorm(dtype=self.dtype,
-                                                          name="ln_1")(x), mask)
-        x = x + MLP(self.width, int(self.width * self.mlp_ratio),
-                    quick_gelu=self.quick_gelu, dtype=self.dtype,
-                    name="mlp")(LayerNorm(dtype=self.dtype, name="ln_2")(x))
+        x = x + self._ls("ls_1")(
+            MultiheadAttention(self.width, self.heads, dtype=self.dtype,
+                               name="attn")(LayerNorm(dtype=self.dtype,
+                                                      name="ln_1")(x), mask))
+        x = x + self._ls("ls_2")(
+            MLP(self.width, int(self.width * self.mlp_ratio),
+                quick_gelu=self.quick_gelu, dtype=self.dtype,
+                name="mlp")(LayerNorm(dtype=self.dtype, name="ln_2")(x)))
         if self.controller:
             hidden = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
                               kernel_init=nn.initializers.zeros,
@@ -76,6 +86,7 @@ class Transformer(nn.Module):
     mlp_ratio: float = 4.0
     quick_gelu: bool = False
     controller: bool = False
+    ls_init_value: Optional[float] = None
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -99,6 +110,7 @@ class Transformer(nn.Module):
         x, hiddens = scan(
             width=self.width, heads=self.heads, mlp_ratio=self.mlp_ratio,
             quick_gelu=self.quick_gelu, controller=self.controller,
+            ls_init_value=self.ls_init_value,
             dtype=self.dtype, name="resblocks")(x, (control, mask))
         if output_hiddens:
             return x, hiddens
@@ -226,11 +238,16 @@ class VisionTransformer(nn.Module):
     n_queries: int = 256
     attn_pooler_heads: int = 8
     output_tokens: bool = False
+    # PatchDropout https://arxiv.org/abs/2212.00794 (transformer.py:47-84,529):
+    # train-time only, keeps max(1, int(n·(1-p))) random patch tokens, CLS kept.
+    patch_dropout: float = 0.0
+    ls_init_value: Optional[float] = None
     remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, control=None, output_hiddens: bool = False):
+    def __call__(self, x, control=None, output_hiddens: bool = False,
+                 train: bool = False):
         B = x.shape[0]
         p = self.patch_size
         gh, gw = x.shape[1] // p, x.shape[2] // p
@@ -253,9 +270,20 @@ class VisionTransformer(nn.Module):
             [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.width)), h], axis=1)
         h = h + pos.astype(self.dtype)
 
+        if self.patch_dropout > 0.0 and train:
+            # topk over gaussian noise = uniform random subset (reference :76-79)
+            cls_tok, rest = h[:, :1], h[:, 1:]
+            n_keep = max(1, int(rest.shape[1] * (1.0 - self.patch_dropout)))
+            rand = jax.random.normal(self.make_rng("patch_dropout"),
+                                     rest.shape[:2])
+            _, keep_idx = jax.lax.top_k(rand, n_keep)
+            rest = jnp.take_along_axis(rest, keep_idx[..., None], axis=1)
+            h = jnp.concatenate([cls_tok, rest], axis=1)
+
         h = LayerNorm(dtype=self.dtype, name="ln_pre")(h)
         out = Transformer(self.width, self.layers, self.heads, self.mlp_ratio,
                           quick_gelu=self.quick_gelu, controller=self.controller,
+                          ls_init_value=self.ls_init_value,
                           remat=self.remat, dtype=self.dtype, name="transformer")(
             h, mask=None, control=control, output_hiddens=output_hiddens)
         if output_hiddens:

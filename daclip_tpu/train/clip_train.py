@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from daclip_tpu.losses import daclip_loss_fork, daclip_loss_uir, clip_loss
+from daclip_tpu.losses import (clip_loss, daclip_loss_fork, daclip_loss_uir,
+                               distill_clip_loss)
 from daclip_tpu.train import schedules as sched
 
 
@@ -43,9 +44,15 @@ class ClipTrainConfig:
     warmup: int = 10000
     total_steps: int = 100000
     lr_scheduler: str = "cosine"       # cosine | const | const-cooldown
+    lr_cooldown_end: float = 0.0       # params.py --lr-cooldown-end
+    lr_cooldown_power: float = 1.0     # params.py --lr-cooldown-power
+    cooldown_steps: Optional[int] = None  # from --epochs-cooldown
+    skip_scheduler: bool = False       # params.py --skip-scheduler
     grad_clip_norm: Optional[float] = None
     accum_freq: int = 1
-    variant: str = "fork"              # fork (FCRC+regression) | uir (degra contrastive)
+    # fork (FCRC+regression) | uir (degra contrastive) | clip (plain InfoNCE)
+    variant: str = "fork"
+    distill: bool = False              # main.py:219-243 + DistillClipLoss
 
 
 def partition_daclip_params(params) -> Tuple[Any, Any]:
@@ -64,13 +71,22 @@ def merge_params(trainable, frozen):
 
 
 def make_optimizer(cfg: ClipTrainConfig, params_sample):
-    if cfg.lr_scheduler == "cosine":
+    if cfg.skip_scheduler:  # main.py:330: scheduler = None
+        schedule = cfg.lr
+    elif cfg.lr_scheduler == "cosine":
         schedule = sched.clip_cosine_lr(cfg.lr, cfg.warmup, cfg.total_steps)
     elif cfg.lr_scheduler == "const":
         schedule = sched.clip_const_lr(cfg.lr, cfg.warmup)
-    else:
+    elif cfg.lr_scheduler in ("const-cooldown", "const_cooldown"):
         schedule = sched.clip_const_lr_cooldown(
-            cfg.lr, cfg.warmup, cfg.total_steps, cfg.total_steps // 10)
+            cfg.lr, cfg.warmup, cfg.total_steps,
+            cfg.cooldown_steps or cfg.total_steps // 10,
+            cooldown_power=cfg.lr_cooldown_power,
+            cooldown_end_lr=cfg.lr_cooldown_end)
+    else:
+        raise ValueError(
+            f"Unknown scheduler {cfg.lr_scheduler!r}; options: cosine, const, "
+            "const-cooldown (main.py:320-330)")
 
     def wd_mask(params):
         return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
@@ -92,8 +108,17 @@ def init_state(params_trainable, cfg: ClipTrainConfig) -> ClipTrainState:
 
 
 def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
-                    banks: Optional[Tuple] = None):
-    """Returns train_step(state, batch, frozen=None) -> (state, metrics).
+                    banks: Optional[Tuple] = None, update_mask=None,
+                    distill_apply: Optional[Callable] = None):
+    """Returns train_step(state, batch, frozen=None, distill_params=None)
+    -> (state, metrics).
+
+    `update_mask` (train/locking.py) implements LiT tower locking: a 0/1
+    float pytree multiplied into the optimizer updates (requires_grad=False
+    semantics incl. frozen weight decay).  `distill_apply` + per-call
+    `distill_params` wire the teacher forward for DistillClipLoss
+    (main.py:219-243, train.py:113-116) — teacher params are a jit argument
+    for the same reason `frozen` is.
 
     batch: dict with images (B,H,W,3), texts (B,154) int32 [--da concat],
     gt_images, deg_type (B,4), gt_val (B,4).  `banks` = (bin_center_bank (4,7),
@@ -108,9 +133,12 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
     tx = make_optimizer(cfg, None)
     default_frozen = frozen_params
 
-    def loss_fn(trainable, batch, frozen):
-        params = {"params": merge_params(
-            trainable, jax.tree.map(jax.lax.stop_gradient, frozen))}
+    def loss_fn(trainable, batch, frozen, distill_params):
+        if frozen:
+            params = {"params": merge_params(
+                trainable, jax.tree.map(jax.lax.stop_gradient, frozen))}
+        else:
+            params = {"params": trainable}
         kwargs = {}
         if cfg.variant == "fork" and banks is not None:
             kwargs = dict(deg_type=batch["deg_type"], gt_val=batch["gt_val"],
@@ -119,18 +147,37 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
             out = model_apply(params, image=batch["images"], text=batch["texts"],
                               gt_images=batch.get("gt_images"), **kwargs)
             losses = daclip_loss_fork(out)
-        else:
+        elif cfg.variant == "uir":
             out = model_apply(params, image=batch["images"], text=batch["texts"])
             losses = daclip_loss_uir(out)
+        else:  # plain CLIP harness path (main.py without --da)
+            out = model_apply(params, image=batch["images"], text=batch["texts"])
+            if cfg.distill and distill_apply is not None:
+                t_out = distill_apply({"params": distill_params},
+                                      image=batch["images"],
+                                      text=batch["texts"])
+                t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
+                losses = distill_clip_loss(
+                    out["image_features"], out["text_features"],
+                    out["logit_scale"], t_out["image_features"],
+                    t_out["text_features"], t_out["logit_scale"])
+            else:
+                losses = {"contrastive_loss": clip_loss(
+                    out["image_features"], out["text_features"],
+                    out["logit_scale"])}
         total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
         return total, losses
 
-    def train_step(state: ClipTrainState, batch, frozen=None):
+    def train_step(state: ClipTrainState, batch, frozen=None,
+                   distill_params=None):
         if frozen is None:
             frozen = default_frozen
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, frozen)
+            state.params, batch, frozen, distill_params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if update_mask is not None:  # LiT locking (train/locking.py)
+            from daclip_tpu.train.locking import apply_update_mask
+            updates = apply_update_mask(updates, update_mask)
         params = optax.apply_updates(state.params, updates)
         # clamp logit_scale to [0, ln(100)] (train.py:187-189)
         params = dict(params)

@@ -149,3 +149,44 @@ def test_predictor_parity():
     got = np.asarray(ours.apply(params, jnp.asarray(feats), jnp.asarray(toks),
                                 jnp.asarray(centers)))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_scaled_cosine_attention_parity():
+    """ScaledCosineAttention vs the reference's custom Attention
+    (open_clip/transformer.py:87-160), both scaled-cosine and vanilla modes."""
+    import torch
+    import jax.numpy as jnp
+    from tests.parity.refload import load_ref_openclip_pkg
+    from daclip_tpu.models.layers import ScaledCosineAttention
+
+    torch.manual_seed(5)
+    pkg = load_ref_openclip_pkg("uir")
+    assert pkg.transformer is not None
+    D, H, L, B = 32, 4, 7, 3
+    rng = np.random.RandomState(6)
+    x = rng.randn(B, L, D).astype(np.float32)
+
+    for scaled_cosine in (True, False):
+        tattn = pkg.transformer.Attention(D, num_heads=H,
+                                          scaled_cosine=scaled_cosine)
+        tattn.eval()
+        with torch.no_grad():
+            # reference layout is (L, N, C)
+            want = tattn(torch.from_numpy(x.transpose(1, 0, 2))
+                         ).numpy().transpose(1, 0, 2)
+
+        params = {
+            "in_proj": {
+                "kernel": tattn.in_proj_weight.detach().numpy().T,
+                "bias": tattn.in_proj_bias.detach().numpy(),
+            },
+            "out_proj": {
+                "kernel": tattn.out_proj.weight.detach().numpy().T,
+                "bias": tattn.out_proj.bias.detach().numpy(),
+            },
+        }
+        if scaled_cosine:
+            params["logit_scale"] = tattn.logit_scale.detach().numpy()
+        ours = ScaledCosineAttention(D, H, scaled_cosine=scaled_cosine)
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

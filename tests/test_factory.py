@@ -122,3 +122,76 @@ def test_resize_pos_embed_matches_torch():
     # close agreement, not bit equality
     assert np.max(np.abs(ours - theirs)) < 0.35
     assert np.corrcoef(ours.ravel(), theirs.ravel())[0, 1] > 0.99
+
+
+# ---- vendored model-config registry + CustomTextCLIP/PatchDropout paths ----
+
+def test_vendored_config_superset():
+    """Every reference model_configs/*.json stem is registered (VERDICT r1 #7)."""
+    import pathlib
+    from daclip_tpu.models import list_models
+    ref = pathlib.Path("/root/reference/universal-image-restoration/open_clip/model_configs")
+    have = set(list_models())
+    if ref.is_dir():
+        want = {f.stem for f in ref.glob("*.json")}
+        missing = want - have
+        assert not missing, f"missing configs: {sorted(missing)}"
+    assert len(have) >= 63
+
+
+def test_new_config_family_forward():
+    """A previously-unvendored family (ViT-S-32-alt) builds and runs, and the
+    LayerScale config (ViT-M-16-alt) materialises ls_1/ls_2 params."""
+    import jax
+    model, params = create_model("ViT-S-32-alt", force_image_size=64)
+    out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)),
+                      jnp.zeros((1, 77), jnp.int32))
+    assert out["image_features"].shape == (1, 256)
+
+    from daclip_tpu.models import CLIPCfg, get_model_config
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-M-16-alt"))
+    assert cfg.vision.ls_init_value == 1e-4
+    m2, p2 = create_model("ViT-M-16-alt", force_image_size=32)
+    blocks = p2["visual"]["transformer"]["resblocks"]
+    assert "ls_1" in blocks and blocks["ls_1"].shape == (12, 512)
+    np.testing.assert_allclose(np.asarray(blocks["ls_1"]), 1e-4)
+
+
+def test_custom_text_clip_dispatch():
+    from daclip_tpu.models import CustomTextCLIP
+    m, p = create_model("ViT-S-32-alt", force_custom_text=True,
+                        force_image_size=32)
+    assert isinstance(m, CustomTextCLIP)
+    out = m.apply({"params": p}, jnp.zeros((1, 32, 32, 3)),
+                  jnp.zeros((1, 77), jnp.int32))
+    assert out["image_features"].shape == (1, 256)
+    # configs with custom_text: true dispatch automatically
+    m2, _ = create_model("test-tiny")
+    assert not isinstance(m2, CustomTextCLIP)
+
+
+def test_timm_and_hf_configs_gate():
+    with pytest.raises(ImportError, match="timm"):
+        create_model("convnext_base")
+    with pytest.raises(ImportError, match="HF text tower"):
+        create_model("roberta-ViT-B-32")
+
+
+def test_patch_dropout_train_only():
+    import jax
+    m, p = create_model("test-tiny", force_patch_dropout=0.5)
+    img = jnp.broadcast_to(jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3),
+                           (2, 32, 32, 3))
+    f_eval = m.apply({"params": p}, img, method=m.encode_image)
+    f_eval2 = m.apply({"params": p}, img, method=m.encode_image)
+    np.testing.assert_array_equal(np.asarray(f_eval), np.asarray(f_eval2))
+    f_tr = m.apply({"params": p}, img, train=True, method=m.encode_image,
+                   rngs={"patch_dropout": jax.random.PRNGKey(0)})
+    f_tr2 = m.apply({"params": p}, img, train=True, method=m.encode_image,
+                    rngs={"patch_dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(f_eval, f_tr)
+    assert not np.allclose(f_tr, f_tr2)
+    # param tree is unchanged by enabling dropout (inference ckpt compatible)
+    _, p0 = create_model("test-tiny")
+    import jax.tree_util as jtu
+    assert jtu.tree_structure(p0) == jtu.tree_structure(p)
