@@ -1,10 +1,13 @@
-"""DA-CLIP training CLI — the `python -m training.main --da` equivalent
-(reference da-clip/src/training/main.py:71-498 + params.py flag names kept for
-drop-in script compatibility; call stack SURVEY.md §3.3).
+"""CLIP / DA-CLIP training harness — the `python -m training.main` equivalent
+(reference da-clip/src/training/main.py:71-498; flag surface in cli/params.py
+mirrors training/params.py:26-459 so reference launch scripts run unchanged;
+call stack SURVEY.md §3.3).
 
-TPU-native: one jitted train step over a `data`-sharded global batch; the frozen
-CLIP tower lives outside the optimizer; checkpoints via orbax with best-by-train-
-loss tracking (fork behaviour, main.py:443-448).
+TPU-native: one jitted train step over a `data`-sharded global batch on a
+('data','fsdp'[,'model']) mesh (--mesh); the frozen CLIP tower lives outside
+the optimizer; LiT locking is an optimizer update mask; checkpoints via orbax
+with best-by-train-loss tracking (fork behaviour, main.py:443-448) and
+optional background remote sync (utils/file_utils.py).
 
 Usage (mirrors da-clip/src/single_train.sh):
   python -m daclip_tpu.cli.train_daclip --train-data data/train.csv --da \
@@ -13,62 +16,68 @@ Usage (mirrors da-clip/src/single_train.sh):
 """
 from __future__ import annotations
 
-import argparse
 import logging
 import math
 import os
 import time
+from functools import partial
 
 import numpy as np
 
+from daclip_tpu.cli.params import parse_args
 
-def parse_args(argv=None):
-    p = argparse.ArgumentParser()
-    # data (params.py names)
-    p.add_argument("--train-data", default=None)
-    p.add_argument("--val-data", default=None)
-    p.add_argument("--dataset-type", default="auto",
-                   choices=["csv", "synthetic", "auto"])
-    p.add_argument("--csv-separator", default="\t")
-    p.add_argument("--csv-img-key", default="filepath")
-    p.add_argument("--csv-caption-key", default="title")
-    p.add_argument("--train-num-samples", type=int, default=512)
-    p.add_argument("--workers", type=int, default=4)
-    # model
-    p.add_argument("--model", default="daclip_ViT-B-32")
-    p.add_argument("--pretrained", default="",
-                   help="torch CLIP checkpoint to convert (laion2b .pt / .bin)")
-    p.add_argument("--resume", default=None)
-    p.add_argument("--precision", default="amp_bf16")
-    p.add_argument("--da", action="store_true", default=True)
-    p.add_argument("--crop", action="store_true")
-    p.add_argument("--uir-variant", action="store_true",
-                   help="use the original DA-CLIP loss instead of the fork's")
-    # optim (params.py:5-11 ViT-B-32 defaults)
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--epochs", type=int, default=32)
-    p.add_argument("--lr", type=float, default=5e-4)
-    p.add_argument("--beta1", type=float, default=0.9)
-    p.add_argument("--beta2", type=float, default=0.98)
-    p.add_argument("--eps", type=float, default=1e-6)
-    p.add_argument("--wd", type=float, default=0.2)
-    p.add_argument("--warmup", type=int, default=10000)
-    p.add_argument("--lr-scheduler", default="cosine")
-    p.add_argument("--accum-freq", type=int, default=1)
-    p.add_argument("--grad-clip-norm", type=float, default=None)
-    # logging / ckpt
-    p.add_argument("--logs", default="./logs/")
-    p.add_argument("--name", default=None)
-    p.add_argument("--save-frequency", type=int, default=1)
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--debug-nans", action="store_true")
-    return p.parse_args(argv)
+
+def _setup_logging(log_base: str, debug: bool, log_local: bool, host0: bool):
+    """Console + logs/<name>/out.log (reference setup_logging, logger.py:5-28;
+    --log-local logs from every host, main.py:113-118)."""
+    level = logging.DEBUG if debug else logging.INFO
+    root = logging.getLogger()
+    root.setLevel(level)
+    # replace only OUR previous handlers (repeat main() calls / tests) — never
+    # force-close foreign ones (absl shares its stream with the root handlers;
+    # closing it breaks interpreter-shutdown logging)
+    for h in [h for h in root.handlers if getattr(h, "_daclip", False)]:
+        root.removeHandler(h)
+        h.close()
+    fmt = logging.Formatter("%(asctime)s | %(levelname)s | %(message)s")
+    if host0 or log_local:
+        os.makedirs(log_base, exist_ok=True)
+        for h in (logging.StreamHandler(),
+                  logging.FileHandler(os.path.join(log_base, "out.log"))):
+            h.setFormatter(fmt)
+            h._daclip = True
+            root.addHandler(h)
+    return logging.getLogger("daclip")
+
+
+def _copy_codebase(log_base: str, log):
+    """--copy-codebase (main.py:478-498): snapshot the package source next to
+    the run so the exact code is recoverable."""
+    import shutil
+
+    import daclip_tpu
+
+    dst = os.path.join(log_base, "code", "daclip_tpu")
+    if os.path.exists(dst):
+        log.warning("code snapshot %s already exists; skipping copy", dst)
+        return
+    src = os.path.dirname(os.path.abspath(daclip_tpu.__file__))
+    shutil.copytree(src, dst,
+                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc"))
+    log.info("copied codebase to %s", dst)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-    log = logging.getLogger("daclip")
+
+    # run identity (main.py:90-104): date-stamped name when unset
+    if args.name is None:
+        args.name = "-".join([
+            time.strftime("%Y_%m_%d-%H_%M_%S"),
+            f"model_{args.model.replace('/', '-')}",
+            f"lr_{args.lr}", f"b_{args.batch_size}", f"p_{args.precision}"])
+    log_base = os.path.join(args.logs, args.name)
+    ckpt_dir = os.path.join(log_base, "checkpoints")
 
     import jax
     import jax.numpy as jnp
@@ -76,105 +85,206 @@ def main(argv=None):
 
     from daclip_tpu.data.csv_dataset import CsvDataset, SyntheticDataset
     from daclip_tpu.data.loader import DataLoader
-    from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
-    from daclip_tpu.parallel import initialize_distributed, make_mesh_for_batch
+    from daclip_tpu.factory import create_model_and_transforms
+    from daclip_tpu.models import DaCLIP
+    from daclip_tpu.parallel import initialize_distributed, mesh_from_spec
+    from daclip_tpu.parallel.mesh import (fsdp_param_shardings,
+                                          tp_param_shardings)
+    from daclip_tpu.tokenizer import tokenize
     from daclip_tpu.train.clip_train import (ClipTrainConfig, init_state,
-                                             make_train_step,
+                                             make_train_step, merge_params,
                                              partition_daclip_params)
-    from daclip_tpu.transforms import image_transform
+    from daclip_tpu.train.locking import build_update_mask
+    from daclip_tpu.utils import file_utils
     from daclip_tpu.utils.checkpoint import save_checkpoint
+    from daclip_tpu.utils.logging import MetricWriter
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.dist_url and args.dist_url != "env://" and "://" in args.dist_url:
+        # --dist-url maps onto the JAX coordinator (distributed.py:43-60)
+        os.environ.setdefault("COORDINATOR_ADDRESS",
+                              args.dist_url.split("://", 1)[1])
     initialize_distributed()
-    mesh = make_mesh_for_batch(args.batch_size)
+    host0 = jax.process_index() == 0
+    log = _setup_logging(log_base, args.debug, args.log_local, host0)
+    if host0:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if args.copy_codebase:
+            _copy_codebase(log_base, log)
+
+    mesh, (d_data, d_fsdp, d_model) = mesh_from_spec(args.mesh,
+                                                     args.batch_size)
     shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    log.info("mesh: data=%d fsdp=%d model=%d (%d devices)",
+             d_data, d_fsdp, d_model, mesh.size)
 
-    clip_cfg = CLIPCfg.from_dict(get_model_config(args.model))
-    dtype = jnp.bfloat16 if "bf16" in args.precision else jnp.float32
-    model = DaCLIP(clip_cfg, use_predictor=not args.uir_variant, dtype=dtype)
+    # DA mode is implied by a daclip_* model (single_train.sh always passes
+    # both; keeps `--model daclip_* ` alone working too)
+    args.da = args.da or "daclip" in args.model
+    force_image_size = (args.force_image_size[0]
+                        if args.force_image_size else None)
 
-    # data
-    from functools import partial
-    from daclip_tpu.tokenizer import tokenize
+    model, params, pp_train, pp_val = create_model_and_transforms(
+        args.model, pretrained=args.pretrained or None,
+        precision=args.precision,
+        use_predictor=args.da and not args.uir_variant,
+        image_mean=args.image_mean, image_std=args.image_std, seed=args.seed,
+        force_quick_gelu=args.force_quick_gelu,
+        force_custom_text=args.force_custom_text,
+        force_patch_dropout=args.force_patch_dropout,
+        force_image_size=force_image_size,
+        remat=args.grad_checkpointing)
+    clip_cfg = model.cfg
+    is_daclip = isinstance(model, DaCLIP)
+    if args.pretrained:
+        log.info("loaded pretrained weights: %s", args.pretrained)
+
+    # ---- data ---------------------------------------------------------------
     tokenizer = partial(tokenize, context_length=clip_cfg.text.context_length)
-    tf_train = image_transform(clip_cfg.vision.image_size, is_train=True)
     ds_type = args.dataset_type
-    if ds_type == "auto":
-        ds_type = "csv" if args.train_data else "synthetic"
+    if ds_type == "auto":  # get_dataset_fn dispatch (training/data.py:640-660)
+        if not args.train_data:
+            ds_type = "synthetic"
+        elif ("::" in args.train_data or args.train_data.endswith(".tar")
+              or "{" in args.train_data):
+            ds_type = "webdataset"
+        else:
+            ds_type = "csv"
+    banks = None
     if ds_type == "csv":
-        ds = CsvDataset(args.train_data, tf_train, args.csv_img_key,
+        ds = CsvDataset(args.train_data, pp_train, args.csv_img_key,
                         args.csv_caption_key, args.csv_separator,
                         tokenizer=tokenizer, da=args.da,
                         crop=args.crop, seed=args.seed)
+        banks = ds.banks()
+        loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                            num_workers=args.workers, seed=args.seed)
+    elif ds_type == "webdataset":
+        from daclip_tpu.data.webdataset import ClipWebLoader, WebDataset
+        if args.da:
+            raise SystemExit("--da needs the csv pipeline (degradation "
+                             "captions; training/data.py:29-156) — webdataset "
+                             "sources carry no degradation metadata")
+        weights = None
+        if args.train_data_upsampling_factors:
+            weights = [float(w) for w in
+                       args.train_data_upsampling_factors.split("::")]
+        wds = WebDataset(args.train_data, shuffle_buffer=5000, seed=args.seed,
+                         host_id=jax.process_index(),
+                         num_hosts=jax.process_count(),
+                         resampled=args.dataset_resampled, weights=weights)
+        loader = ClipWebLoader(wds, pp_train, tokenizer, args.batch_size,
+                               num_samples=args.train_num_samples or 0)
     else:
-        ds = SyntheticDataset(tf_train, dataset_size=args.train_num_samples,
+        ds = SyntheticDataset(pp_train,
+                              dataset_size=args.train_num_samples or 512,
                               tokenizer=tokenizer, da=args.da)
-    banks = ds.banks()
-    loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
-                        num_workers=args.workers, seed=args.seed)
+        banks = ds.banks()
+        loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                            num_workers=args.workers, seed=args.seed)
+    if args.da and banks is None:
+        from daclip_tpu.data.csv_dataset import build_banks
+        banks = build_banks(tokenizer)
 
-    # params: init, then load converted pretrained CLIP + initial_controller
-    img0 = jnp.zeros((1, clip_cfg.vision.image_size, clip_cfg.vision.image_size, 3))
-    txt0 = jnp.zeros((1, 2 * clip_cfg.text.context_length), jnp.int32)
-    variables = model.init(
-        jax.random.PRNGKey(args.seed), image=img0, text=txt0, gt_images=img0,
-        deg_type=jnp.ones((1, 4)), gt_val=jnp.ones((1, 4)),
-        bin_center_bank=jnp.ones((4, 7)),
-        all_d_type_tokens=jnp.zeros((28, clip_cfg.text.context_length), jnp.int32))
-    params = dict(variables["params"])
-    if args.pretrained and os.path.exists(args.pretrained):
-        from daclip_tpu.utils.torch_convert import (convert_clip, convert_daclip,
-                                                    initial_controller,
-                                                    load_torch_state_dict)
-        sd = load_torch_state_dict(args.pretrained)
-        if any(k.startswith("clip.") for k in sd):
-            loaded = convert_daclip(sd)          # full DaCLIP checkpoint
-            params.update(loaded)
-        else:                                     # plain CLIP → controller init
-            params["clip"] = convert_clip(sd)
-            params = initial_controller(params)   # factory.py:236-239 parity
-        log.info("loaded pretrained weights from %s", args.pretrained)
-
-    trainable, frozen = partition_daclip_params(params)
-    # device-resident frozen tree, replicated over the mesh: passed to the
-    # step per call (so it is a jit ARGUMENT, not a baked constant) — as host
-    # numpy it would re-upload ~600 MB of CLIP weights every single step, and
-    # an uncommitted single-device tree conflicts with the mesh-sharded batch
-    repl = NamedSharding(mesh, P())
+    # ---- trainable/frozen split + optimizer --------------------------------
+    if is_daclip:
+        trainable, frozen = partition_daclip_params(params)
+    else:
+        trainable, frozen = dict(params), {}
+    # frozen CLIP tree is a jit ARGUMENT (not a baked constant — a ~600 MB HLO
+    # otherwise), device-resident and mesh-replicated once up front
     frozen = jax.device_put(jax.tree.map(jnp.asarray, frozen), repl)
+
+    # LiT locking (main.py:261-269) as an optimizer update mask
+    update_mask = build_update_mask(
+        trainable, lock_image=args.lock_image,
+        lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+        lock_text=args.lock_text,
+        lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+        lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm)
+    if update_mask is not None:
+        log.info("LiT locking active (image=%s text=%s)",
+                 args.lock_image, args.lock_text)
+
+    # distillation teacher (main.py:219-243): frozen model, params per call
+    distill_apply, distill_params = None, None
+    if args.distill_model:
+        from daclip_tpu.factory import create_model
+        t_model, t_params = create_model(
+            args.distill_model, pretrained=args.distill_pretrained,
+            precision=args.precision, seed=args.seed)
+        distill_apply = t_model.apply
+        distill_params = jax.device_put(
+            jax.tree.map(jnp.asarray, t_params), repl)
+        log.info("distilling from %s (%s)", args.distill_model,
+                 args.distill_pretrained)
+
     steps_per_epoch = max(len(loader), 1)
+    opt_steps_per_epoch = max(steps_per_epoch // args.accum_freq, 1)
+    cooldown_steps = (opt_steps_per_epoch * args.epochs_cooldown
+                      if args.epochs_cooldown else None)
+    variant = ("fork" if args.da and not args.uir_variant
+               else "uir" if args.da else "clip")
     cfg = ClipTrainConfig(
-        lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps, wd=args.wd,
-        warmup=args.warmup, total_steps=args.epochs * steps_per_epoch,
-        lr_scheduler=args.lr_scheduler, grad_clip_norm=args.grad_clip_norm,
-        accum_freq=args.accum_freq,
-        variant="uir" if args.uir_variant else "fork")
+        lr=args.lr, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        wd=args.wd, warmup=args.warmup,
+        total_steps=args.epochs * opt_steps_per_epoch,
+        lr_scheduler=args.lr_scheduler, lr_cooldown_end=args.lr_cooldown_end,
+        lr_cooldown_power=args.lr_cooldown_power,
+        cooldown_steps=cooldown_steps, skip_scheduler=args.skip_scheduler,
+        grad_clip_norm=args.grad_clip_norm, accum_freq=args.accum_freq,
+        variant=variant, distill=distill_apply is not None,
+        patch_dropout=bool(args.force_patch_dropout))
     state = init_state(trainable, cfg)
+
+    # parameter placement over the mesh: TP > fsdp > replicated
+    if d_model > 1:
+        param_sh = tp_param_shardings(state.params, mesh)
+    elif d_fsdp > 1:
+        param_sh = fsdp_param_shardings(state.params, mesh)
+    else:
+        param_sh = jax.tree.map(lambda _: repl, state.params)
+    state = state._replace(
+        params=jax.tree.map(jax.device_put, state.params, param_sh),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl))
+    if d_fsdp > 1 and frozen:
+        frozen = jax.tree.map(jax.device_put, frozen,
+                              fsdp_param_shardings(frozen, mesh))
+
     # buffer donation deadlocks XLA:CPU collectives AND hit a TPU runtime
-    # InvalidArgument on the large 256² training program via axon — default off,
-    # opt in with DACLIP_TPU_DONATE=1
-    import os as _os
-    donate = ((0,) if (_os.environ.get("DACLIP_TPU_DONATE") == "1"
+    # InvalidArgument on the large 256² training program via axon — default
+    # off, opt in with DACLIP_TPU_DONATE=1
+    donate = ((0,) if (os.environ.get("DACLIP_TPU_DONATE") == "1"
                        and jax.default_backend() != "cpu") else ())
-    step_fn = jax.jit(make_train_step(model.apply, frozen, cfg, banks),
-                      donate_argnums=donate)
+    step_fn = jax.jit(
+        make_train_step(model.apply, frozen, cfg, banks,
+                        update_mask=update_mask, distill_apply=distill_apply),
+        donate_argnums=donate)
 
-    name = args.name or f"daclip_{time.strftime('%Y%m%d_%H%M%S')}"
-    ckpt_dir = os.path.join(args.logs, name, "checkpoints")
-
-    # --resume latest (training/main.py:131-163 parity, local checkpoints)
+    # ---- resume (main.py:131-163 + 426-459) --------------------------------
     start_epoch = 0
     if args.resume:
         from daclip_tpu.utils.checkpoint import latest_step, restore_checkpoint
         rdir = ckpt_dir if args.resume == "latest" else args.resume
+        if (args.resume == "latest" and args.remote_sync
+                and latest_step(rdir) is None):
+            # remote `latest` resolution: mirror the synced checkpoint dir
+            # down before resuming (reference reads the remote listing,
+            # main.py:140-150; orbax checkpoints are directories so the step
+            # dir is downloaded whole)
+            remote_ckpts = os.path.join(args.remote_sync, args.name,
+                                        "checkpoints")
+            if file_utils.list_remote_dir(remote_ckpts):
+                file_utils.download_remote_dir(remote_ckpts, rdir)
+                log.info("downloaded remote checkpoints from %s", remote_ckpts)
         step = latest_step(rdir)
         if step is not None:
             # optimizer moments + step counter resume too (main.py:426-459
-            # parity — without these, Adam statistics reset and the warmup
-            # replays from step 0 after every resume).  Structured restore
-            # (target=) rebuilds the optax state pytree; fall back to a
-            # params-only restore for old-format checkpoints.
+            # parity); structured restore rebuilds the optax pytree, with a
+            # params-only fallback for old-format checkpoints
             try:
                 restored = restore_checkpoint(
                     rdir, step, target={"params": state.params,
@@ -188,25 +298,47 @@ def main(argv=None):
                 restored = restore_checkpoint(rdir, step)
                 state = state._replace(params=jax.tree.map(
                     jnp.asarray, restored["params"]))
-            # restored arrays come back committed to one device; replicate
+            # restored arrays come back committed to one device; re-place
             # over the mesh so they don't conflict with the sharded batch
-            state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+            state = state._replace(
+                params=jax.tree.map(jax.device_put, state.params, param_sh),
+                opt_state=jax.device_put(state.opt_state, repl),
+                step=jax.device_put(state.step, repl))
             start_epoch = int(restored.get("epoch", step))
             log.info("resumed from %s epoch %d", rdir, start_epoch)
         elif args.resume != "latest":
             raise FileNotFoundError(args.resume)
 
+    # ---- reporting + remote sync -------------------------------------------
+    report_to = [r for r in args.report_to.split(",") if r]
+    writer = None
+    if host0 or args.log_local:
+        writer = MetricWriter(
+            log_base, use_tensorboard="tensorboard" in report_to,
+            use_wandb="wandb" in report_to,
+            wandb_project=args.wandb_project_name, wandb_name=args.name,
+            wandb_notes=args.wandb_notes, wandb_config=vars(args))
+    sync_thread = None
+    if args.remote_sync and host0:
+        remote_base = os.path.join(args.remote_sync, args.name)
+        if not file_utils.remote_sync(log_base, remote_base,
+                                      args.remote_sync_protocol):
+            raise SystemExit("initial remote sync failed (main.py:121-129)")
+        sync_thread = file_utils.start_sync_process(
+            args.remote_sync_frequency, log_base, remote_base,
+            args.remote_sync_protocol)
+        sync_thread.start()
+
+    # ---- eval hooks ---------------------------------------------------------
     val_ds = None
     if args.val_data:
-        from daclip_tpu.transforms import image_transform as _it
-        val_ds = CsvDataset(args.val_data, _it(clip_cfg.vision.image_size),
-                            args.csv_img_key, args.csv_caption_key,
-                            args.csv_separator, tokenizer=tokenizer, da=args.da)
+        val_ds = CsvDataset(args.val_data, pp_val, args.csv_img_key,
+                            args.csv_caption_key, args.csv_separator,
+                            tokenizer=tokenizer, da=args.da)
 
     def run_val(state):
         """val losses + retrieval recall (training/train.py:248-381)."""
         from daclip_tpu.eval.retrieval import evaluate as eval_retrieval
-        from daclip_tpu.train.clip_train import merge_params
         params = {"params": merge_params(state.params, frozen)}
         metrics = eval_retrieval(model.apply, params, val_ds,
                                  batch_size=args.batch_size, banks=banks,
@@ -214,7 +346,26 @@ def main(argv=None):
         log.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
         return metrics
 
+    encode_image_j = jax.jit(lambda p, im: model.apply(
+        {"params": p}, im, normalize=True, method=model.encode_image))
+    encode_text_j = jax.jit(lambda p, t: model.apply(
+        {"params": p}, t, normalize=True, method=model.encode_text))
+
+    def run_zero_shot(state):
+        """in-training ImageNet zero-shot (train.py:380 → zero_shot.py)."""
+        from daclip_tpu.eval.imagenet_zero_shot import evaluate_with_encoders
+        merged = merge_params(state.params, frozen)
+        metrics = evaluate_with_encoders(
+            partial(encode_image_j, merged), partial(encode_text_j, merged),
+            args.imagenet_val, clip_cfg.vision.image_size,
+            batch_size=args.batch_size)
+        log.info("zero-shot: %s", {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
+    # ---- train loop ---------------------------------------------------------
+    max_to_keep = 1 if args.delete_previous_checkpoint else 3
     best_loss = float("inf")
+    global_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
@@ -222,25 +373,58 @@ def main(argv=None):
         for i, batch in enumerate(loader):
             dev = {k: jax.device_put(np.asarray(v), shard)
                    for k, v in batch.items() if isinstance(v, np.ndarray)}
-            state, m = step_fn(state, dev, frozen)
+            sargs = (dev, frozen, distill_params) if distill_apply else \
+                (dev, frozen)
+            state, m = step_fn(state, *sargs)
             losses.append(float(m["total_loss"]))
-            if (i + 1) % 10 == 0:
+            global_step += 1
+            if (i + 1) % args.log_every_n_steps == 0 or i + 1 == steps_per_epoch:
                 sps = (i + 1) * args.batch_size / (time.time() - t0)
                 log.info("epoch %d step %d loss %.4f (%.1f samples/s)",
                          epoch, i + 1, losses[-1], sps)
+                if writer:
+                    writer.write(global_step,
+                                 {"loss": losses[-1],
+                                  "grad_norm": float(m["grad_norm"]),
+                                  "logit_scale": float(m["logit_scale"]),
+                                  "samples_per_s": sps}, prefix="train/")
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
         log.info("epoch %d done: mean loss %.4f", epoch, epoch_loss)
-        if val_ds is not None:
-            run_val(state)
-        ckpt_tree = {"params": state.params, "opt_state": state.opt_state,
-                     "step": state.step, "frozen": frozen, "epoch": epoch + 1}
-        if (epoch + 1) % args.save_frequency == 0:
-            save_checkpoint(ckpt_dir, epoch + 1, ckpt_tree, max_to_keep=3)
-        if epoch_loss < best_loss:   # best-by-train-loss (main.py:443-448)
-            best_loss = epoch_loss
-            save_checkpoint(os.path.join(ckpt_dir, "best"), epoch + 1,
-                            ckpt_tree, max_to_keep=1)
+
+        evals = {}
+        if val_ds is not None and (epoch + 1) % args.val_frequency == 0:
+            evals.update(run_val(state))
+        if (args.imagenet_val and args.zeroshot_frequency
+                and ((epoch + 1) % args.zeroshot_frequency == 0
+                     or epoch + 1 == args.epochs)):
+            evals.update(run_zero_shot(state))
+        if writer and evals:
+            writer.write(global_step, evals, prefix="val/")
+
+        if host0:
+            ckpt_tree = {"params": state.params, "opt_state": state.opt_state,
+                         "step": state.step, "frozen": frozen,
+                         "epoch": epoch + 1}
+            if (epoch + 1) % args.save_frequency == 0:
+                save_checkpoint(ckpt_dir, epoch + 1, ckpt_tree,
+                                max_to_keep=max_to_keep)
+            elif args.save_most_recent:
+                # epoch_latest analogue (main.py:448-457): a rolling
+                # single-slot save for off-frequency epochs
+                save_checkpoint(os.path.join(ckpt_dir, "latest"), epoch + 1,
+                                ckpt_tree, max_to_keep=1)
+            if epoch_loss < best_loss:  # best-by-train-loss (main.py:443-448)
+                best_loss = epoch_loss
+                save_checkpoint(os.path.join(ckpt_dir, "best"), epoch + 1,
+                                ckpt_tree, max_to_keep=1)
     log.info("training complete; best epoch loss %.4f", best_loss)
+    if writer:
+        writer.close()
+    if sync_thread is not None:
+        from daclip_tpu.utils.checkpoint import wait_all
+        wait_all()
+        sync_thread.stop(final_sync=True)
+    return {"best_loss": best_loss}
 
 
 if __name__ == "__main__":

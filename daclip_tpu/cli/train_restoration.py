@@ -51,6 +51,10 @@ def main(argv=None):
                    help="shorter sampler for validation")
     p.add_argument("--debug-nans", action="store_true",
                    help="jax_debug_nans (the reference's detect_anomaly analogue)")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh 'data[,fsdp]' — fsdp>1 ZeRO-shards the "
+                        "UNet params over the second axis (parallel/mesh.py); "
+                        "default: all devices on data")
     args = p.parse_args(argv)
 
     import jax
@@ -60,7 +64,8 @@ def main(argv=None):
     from daclip_tpu import config as cfg_mod
     from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
     from daclip_tpu.models.unet import ConditionalUNet
-    from daclip_tpu.parallel import initialize_distributed, make_mesh_for_batch
+    from daclip_tpu.parallel import (fsdp_param_shardings,
+                                     initialize_distributed, mesh_from_spec)
     from daclip_tpu.sde import IRSDE
     from daclip_tpu.train.restoration import (RestorationTrainConfig, init_state,
                                               make_sampler, make_train_step)
@@ -76,8 +81,9 @@ def main(argv=None):
     initialize_distributed()
     opt = cfg_mod.parse(args.opt, is_train=True)
     per_host_batch = (opt["datasets"]["train"].get("batch_size", 16))
-    mesh = make_mesh_for_batch(per_host_batch)
+    mesh, (d_data, d_fsdp, _) = mesh_from_spec(args.mesh, per_host_batch)
     batch_sharding = NamedSharding(mesh, P("data"))
+    log.info("mesh: data=%d fsdp=%d (%d devices)", d_data, d_fsdp, mesh.size)
 
     train_opt = opt["train"] or {}
     niter = args.max_steps or int(train_opt.get("niter", 700000))
@@ -165,10 +171,23 @@ def main(argv=None):
         state = restore_checkpoint(ckpt_dir, target=state)
         start_step = int(state.step)
         log.info("resumed from step %d", start_step)
-    # place the state on the mesh (replicated) so every jit input shares the
-    # same device set — mixing committed single-device state with mesh-sharded
-    # batches deadlocks the CPU collective path
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    # place the state on the mesh so every jit input shares the same device
+    # set — mixing committed single-device state with mesh-sharded batches
+    # deadlocks the CPU collective path.  fsdp>1 ZeRO-shards the UNet params
+    # (and their EMA shadow) over the 'fsdp' axis; everything else replicates.
+    repl = NamedSharding(mesh, P())
+    if d_fsdp > 1:
+        param_sh = fsdp_param_shardings(state.params, mesh)
+        state = state._replace(
+            params=jax.tree.map(jax.device_put, state.params, param_sh),
+            ema=state.ema._replace(
+                params=jax.tree.map(jax.device_put, state.ema.params,
+                                    param_sh),
+                step=jax.device_put(state.ema.step, repl)),
+            opt_state=jax.device_put(state.opt_state, repl),
+            step=jax.device_put(state.step, repl))
+    else:
+        state = jax.device_put(state, repl)
 
     base_step = make_train_step(unet.apply, sde, cfg)
 

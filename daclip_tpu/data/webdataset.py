@@ -70,8 +70,25 @@ class WebDataset:
 
     def __init__(self, urls, shuffle_buffer: int = 0, seed: int = 0,
                  host_id: int = 0, num_hosts: int = 1, resampled: bool = False,
-                 samples_per_epoch: Optional[int] = None):
-        self.shards = expand_urls(urls)
+                 samples_per_epoch: Optional[int] = None, weights=None):
+        """`weights`: per-source upsampling factors aligned with the '::'-
+        separated sources of `urls` (--train-data-upsampling-factors,
+        training/data.py); only meaningful with resampled=True, where shard
+        draws are weighted by the owning source's factor."""
+        if isinstance(urls, str) and "::" in urls:
+            sources = urls.split("::")
+        else:
+            sources = [urls] if isinstance(urls, str) else list(urls)
+        self.shards = []
+        self.shard_weights = []
+        if weights is not None and len(weights) != len(sources):
+            raise ValueError(
+                f"{len(weights)} upsampling factors for {len(sources)} sources")
+        for si, src in enumerate(sources):
+            expanded = expand_urls(src)
+            self.shards.extend(expanded)
+            w = 1.0 if weights is None else float(weights[si])
+            self.shard_weights.extend([w] * len(expanded))
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
         self.epoch = 0
@@ -87,7 +104,11 @@ class WebDataset:
         rng = random.Random(self.seed + self.epoch)  # detshuffle2 parity
         shards = list(self.shards)
         if self.resampled:
-            shards = [rng.choice(shards) for _ in range(len(shards))]
+            if any(w != 1.0 for w in self.shard_weights):
+                shards = rng.choices(shards, weights=self.shard_weights,
+                                     k=len(shards))
+            else:
+                shards = [rng.choice(shards) for _ in range(len(shards))]
         else:
             rng.shuffle(shards)
         return shards[self.host_id::self.num_hosts]
@@ -138,3 +159,64 @@ class WebDataset:
                 break
             yield s
             count += 1
+
+
+_IMAGE_EXTS = ("jpg", "jpeg", "png", "webp", "bmp")
+_TEXT_EXTS = ("txt", "caption", "text")
+
+
+class ClipWebLoader:
+    """Batched CLIP-training view over `WebDataset` (reference
+    get_wds_dataset, da-clip/src/training/data.py:331-426): picks the image /
+    caption fields off each decoded sample, applies the train transform +
+    tokenizer, and collates fixed-size {'images','texts'} numpy batches
+    (partial trailing batches dropped, wds batched(..., partial=not is_train)
+    parity).
+
+    `__len__` is `num_samples // batch_size` — the reference's num_batches
+    maths, which is why --train-num-samples is mandatory for webdataset
+    sources there too (data.py:344-352)."""
+
+    def __init__(self, wds: WebDataset, transform, tokenizer, batch_size: int,
+                 num_samples: int):
+        if num_samples <= 0:
+            raise ValueError(
+                "webdataset sources need --train-num-samples (the shard list "
+                "carries no size metadata; training/data.py:344-352)")
+        self.wds = wds
+        self.transform = transform
+        self.tokenize = tokenizer
+        self.batch_size = batch_size
+        self.num_batches = num_samples // batch_size
+
+    def set_epoch(self, epoch: int):
+        self.wds.set_epoch(epoch)
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        imgs, caps, emitted = [], [], 0
+        while emitted < self.num_batches:          # resample epochs as needed
+            produced_any = False
+            for sample in self.wds:
+                produced_any = True
+                img = next((v for k, v in sample.items()
+                            if k.split(".")[-1].lower() in _IMAGE_EXTS), None)
+                cap = next((v for k, v in sample.items()
+                            if k.split(".")[-1].lower() in _TEXT_EXTS), None)
+                if img is None or cap is None:
+                    continue
+                imgs.append(self.transform(img))
+                caps.append(cap)
+                if len(imgs) == self.batch_size:
+                    texts = np.asarray(self.tokenize(caps), np.int32)
+                    yield {"images": np.stack(imgs).astype(np.float32),
+                           "texts": texts}
+                    imgs, caps = [], []
+                    emitted += 1
+                    if emitted >= self.num_batches:
+                        return
+            if not produced_any:
+                raise RuntimeError("webdataset produced no usable samples "
+                                   f"from shards {self.wds.shards[:3]}…")

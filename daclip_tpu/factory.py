@@ -64,6 +64,7 @@ def create_model(
     force_custom_text: bool = False,
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[int] = None,
+    remat: bool = False,
 ) -> Tuple[Any, Any]:
     """Build (model_def, params).
 
@@ -104,12 +105,15 @@ def create_model(
 
     if use_predictor is None:
         use_predictor = False
+    # remat = --grad-checkpointing (main.py:255-258): jax.checkpoint on the
+    # scanned transformer blocks instead of torch.utils.checkpoint
     if is_daclip:
-        model = DaCLIP(cfg, use_predictor=use_predictor, dtype=dtype)
+        model = DaCLIP(cfg, use_predictor=use_predictor, remat=remat,
+                       dtype=dtype)
     elif custom_text:
-        model = CustomTextCLIP(cfg, dtype=dtype)
+        model = CustomTextCLIP(cfg, remat=remat, dtype=dtype)
     else:
-        model = CLIP(cfg, dtype=dtype)
+        model = CLIP(cfg, remat=remat, dtype=dtype)
     params = _init_params(model, cfg, seed, is_daclip,
                           use_predictor and is_daclip)
 
@@ -184,6 +188,7 @@ def create_model_and_transforms(
     force_custom_text: bool = False,
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[int] = None,
+    remat: bool = False,
 ):
     """(model_def, params, preprocess_train, preprocess_val) —
     factory.py:312-360."""
@@ -192,7 +197,8 @@ def create_model_and_transforms(
                                  force_quick_gelu=force_quick_gelu,
                                  force_custom_text=force_custom_text,
                                  force_patch_dropout=force_patch_dropout,
-                                 force_image_size=force_image_size)
+                                 force_image_size=force_image_size,
+                                 remat=remat)
     cfg = model.cfg
     tag_cfg = (get_pretrained_cfg(model_name, pretrained)
                if pretrained and not Path(str(pretrained)).exists() else {})

@@ -269,9 +269,12 @@ class CLIP(nn.Module):
     def encode_text(self, text, normalize: bool = False):
         return self._norm(self.text(text), normalize)
 
-    def __call__(self, image=None, text=None):
+    def __call__(self, image=None, text=None, train: bool = False):
+        # `train` activates PatchDropout in the ViT tower (needs a
+        # 'patch_dropout' rng in apply's rngs) — model.py:244-252 forward
         return {
-            "image_features": self.encode_image(image, normalize=True)
+            "image_features": self.encode_image(image, normalize=True,
+                                                train=train)
             if image is not None else None,
             "text_features": self.encode_text(text, normalize=True)
             if text is not None else None,

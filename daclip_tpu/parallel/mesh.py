@@ -24,9 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_distributed():
     """Multi-host init (no-op single-host). Env-driven like the reference's
-    RANK/WORLD_SIZE discovery (distributed.py:43-60) but via JAX coordinator."""
+    RANK/WORLD_SIZE discovery (distributed.py:43-60) but via JAX coordinator.
+
+    On multi-host TPU pods the argument-free `jax.distributed.initialize()`
+    discovers the topology from the TPU metadata; gate on the pod-only env
+    markers so a single dev chip doesn't block on a coordinator."""
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    elif (os.environ.get("TPU_WORKER_HOSTNAMES")
+          or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # noqa: BLE001 — fall back to single-host
+            import logging
+            logging.getLogger(__name__).warning(
+                "jax.distributed.initialize() failed (%s); continuing "
+                "single-host", e)
 
 
 def make_mesh(data: int = -1, fsdp: int = 1, devices=None) -> Mesh:
@@ -38,6 +51,21 @@ def make_mesh(data: int = -1, fsdp: int = 1, devices=None) -> Mesh:
         data = n // fsdp
     assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
     return Mesh(devices.reshape(data, fsdp), ("data", "fsdp"))
+
+
+def mesh_from_spec(spec: Optional[str], batch_size: int, devices=None):
+    """CLI `--mesh 'data[,fsdp[,model]]'` → (Mesh, (data, fsdp, model)).
+    No spec → the largest 1-D data mesh dividing the batch (reference scope:
+    multi_train.sh's torchrun world size, mapped onto explicit mesh axes)."""
+    if not spec:
+        mesh = make_mesh_for_batch(batch_size, devices=devices)
+        return mesh, (mesh.shape["data"], 1, 1)
+    dims = [int(x) for x in str(spec).split(",")]
+    data, fsdp, model = (dims + [1, 1])[:3]
+    if model > 1:
+        return (make_mesh_tp(data, fsdp, model, devices=devices),
+                (data, fsdp, model))
+    return make_mesh(data, fsdp, devices=devices), (data, fsdp, 1)
 
 
 def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:

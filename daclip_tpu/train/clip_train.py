@@ -53,6 +53,8 @@ class ClipTrainConfig:
     # fork (FCRC+regression) | uir (degra contrastive) | clip (plain InfoNCE)
     variant: str = "fork"
     distill: bool = False              # main.py:219-243 + DistillClipLoss
+    patch_dropout: bool = False        # --force-patch-dropout active (clip
+    #                                    variant only; needs a per-step rng)
 
 
 def partition_daclip_params(params) -> Tuple[Any, Any]:
@@ -151,7 +153,16 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
             out = model_apply(params, image=batch["images"], text=batch["texts"])
             losses = daclip_loss_uir(out)
         else:  # plain CLIP harness path (main.py without --da)
-            out = model_apply(params, image=batch["images"], text=batch["texts"])
+            if cfg.patch_dropout:
+                # deterministic per-step rng derived from the optimizer step so
+                # the step signature stays (state, batch, frozen)
+                rng = jax.random.fold_in(jax.random.PRNGKey(0), batch["_step"])
+                out = model_apply(params, image=batch["images"],
+                                  text=batch["texts"], train=True,
+                                  rngs={"patch_dropout": rng})
+            else:
+                out = model_apply(params, image=batch["images"],
+                                  text=batch["texts"])
             if cfg.distill and distill_apply is not None:
                 t_out = distill_apply({"params": distill_params},
                                       image=batch["images"],
@@ -172,6 +183,9 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
                    distill_params=None):
         if frozen is None:
             frozen = default_frozen
+        if cfg.patch_dropout:
+            batch = dict(batch)
+            batch["_step"] = state.step
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, frozen, distill_params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

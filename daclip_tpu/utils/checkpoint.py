@@ -41,8 +41,19 @@ def wait_all():
 
 import atexit  # noqa: E402
 
-atexit.register(lambda: [m.wait_until_finished() or m.close()
-                         for m in _live_managers.values()])
+
+def _drain_at_exit():
+    # orbax close() logs via the root logger; at interpreter shutdown those
+    # handlers may wrap already-closed streams (pytest capture) — don't let
+    # logging print "Logging error" tracebacks for that
+    import logging
+    logging.raiseExceptions = False
+    for m in _live_managers.values():
+        m.wait_until_finished()
+        m.close()
+
+
+atexit.register(_drain_at_exit)
 
 
 def save_checkpoint(directory: str, step: int, tree: Any,

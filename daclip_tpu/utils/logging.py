@@ -42,18 +42,43 @@ def _try_tb_writer(log_dir: str):
     except ImportError:
         pass
     try:
+        from torch.utils.tensorboard import SummaryWriter  # type: ignore
+        return SummaryWriter(log_dir)
+    except ImportError:
+        pass
+    try:
         import tensorflow as tf  # type: ignore
         return tf.summary.create_file_writer(log_dir)
     except ImportError:
         return None
 
 
+def _try_wandb(project: str, name: str, notes: str, config: Optional[Dict]):
+    """--report-to wandb (main.py:379-398); returns the wandb module or None
+    with a warning when the package is absent (not baked into this image)."""
+    try:
+        import wandb  # type: ignore
+    except ImportError:
+        import logging as _logging
+        _logging.getLogger(__name__).warning(
+            "--report-to wandb requested but the wandb package is not "
+            "installed; metrics go to results.jsonl/tensorboard only")
+        return None
+    wandb.init(project=project, name=name, notes=notes, config=config or {})
+    return wandb
+
+
 class MetricWriter:
-    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+    def __init__(self, log_dir: str, use_tensorboard: bool = True,
+                 use_wandb: bool = False, wandb_project: str = "open-clip",
+                 wandb_name: str = "", wandb_notes: str = "",
+                 wandb_config: Optional[Dict] = None):
         os.makedirs(log_dir, exist_ok=True)
         self.jsonl = open(os.path.join(log_dir, "results.jsonl"), "a")
         self.tb = _try_tb_writer(os.path.join(log_dir, "tb")) \
             if use_tensorboard else None
+        self.wandb = _try_wandb(wandb_project, wandb_name, wandb_notes,
+                                wandb_config) if use_wandb else None
 
     def write(self, step: int, metrics: Dict[str, float], prefix: str = ""):
         row = {"step": int(step)}
@@ -72,11 +97,16 @@ class MetricWriter:
                     for k, v in row.items():
                         if k != "step":
                             tf.summary.scalar(k, v, step=step)
+        if self.wandb is not None:
+            self.wandb.log({k: v for k, v in row.items() if k != "step"},
+                           step=step)
 
     def close(self):
         self.jsonl.close()
         if self.tb is not None and hasattr(self.tb, "close"):
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 def _is_scalar(v) -> bool:

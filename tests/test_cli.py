@@ -85,6 +85,10 @@ def test_train_restoration_cli_smoke(tiny_md_root, tmp_path, monkeypatch):
     # checkpoints landed
     state_dir = tmp_path / "experiments" / "smoke-test" / "training_state"
     assert state_dir.exists() and any(state_dir.iterdir())
+    # --mesh data,fsdp: resumes the saved state, places it over a 2×4 mesh
+    # (ZeRO path, parallel/mesh.py:fsdp_param_shardings) and re-validates
+    main(["-opt", str(yml), "--max-steps", "4", "--val-sample-T", "4",
+          "--mesh", "2,4"])
 
 
 def test_train_daclip_cli_smoke(tmp_path):
