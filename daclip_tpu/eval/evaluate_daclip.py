@@ -90,29 +90,84 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
         f.write("class,correct,total,accuracy\n")
         for c, (ok, tot) in sorted(per_class.items()):
             f.write(f"{c},{ok},{tot},{ok / max(tot, 1):.4f}\n")
-    # confusion matrix
+    # confusion matrix: CSV + PNG (evaluate_daclip.py:150-159)
     cm = np.zeros((len(classes), len(classes)), np.int64)
     for g, p in zip(gt, pred):
         cm[g, p] += 1
     np.savetxt(os.path.join(out_dir, "confusion_matrix.csv"), cm, fmt="%d",
                delimiter=",", header=",".join(classes))
+    ckpt_name = os.path.splitext(os.path.basename(checkpoint_path))[0]
+    from daclip_tpu.eval.plots import plot_confusion_matrix
+    plot_confusion_matrix(
+        cm, classes, f"Confusion Matrix: {ckpt_name}",
+        os.path.join(out_dir, f"confusion_matrix_{ckpt_name}.png"))
+    # % accuracy per fine/base class, ordered like `classes`/`base_classes`
+    # (the reference's evaluate_checkpoint return, :162-164)
+    full_class_acc = [100.0 * per_class[c][0] / max(per_class[c][1], 1)
+                      for c in classes]
+    base_tot, base_ok_n = defaultdict(int), defaultdict(int)
+    for g, ok in zip(gt, pred_base_ok):
+        b = base_class_map[classes[g]]
+        base_tot[b] += 1
+        base_ok_n[b] += int(ok)
+    base_class_acc = [100.0 * base_ok_n[b] / max(base_tot[b], 1)
+                      for b in base_classes]
     print(f"fine-class accuracy: {acc:.4f} ({len(classes)} classes)")
     print(f"base-class accuracy: {base_acc:.4f} ({len(base_classes)} classes)")
     return {"accuracy": acc, "base_accuracy": base_acc,
-            "per_class": dict(per_class)}
+            "per_class": dict(per_class), "classes": classes,
+            "base_classes": base_classes, "full_class_acc": full_class_acc,
+            "base_class_acc": base_class_acc}
+
+
+def compare_checkpoints(results: dict, out_dir: str):
+    """Cross-checkpoint comparison artifacts (evaluate_daclip.py:166-218):
+    base-class accuracy table + full/base per-class line plots.
+    `results`: {display_name: evaluate_checkpoint(...) return}."""
+    from daclip_tpu.eval.plots import (plot_accuracy_comparison,
+                                       plot_accuracy_table)
+
+    first = next(iter(results.values()))
+    base = {n: r["base_class_acc"] for n, r in results.items()}
+    full = {n: r["full_class_acc"] for n, r in results.items()}
+    plot_accuracy_table(base, first["base_classes"],
+                        "Base Class Accuracy Table",
+                        os.path.join(out_dir, "base_class_accuracy_table.png"))
+    plot_accuracy_comparison(
+        base, first["base_classes"],
+        "Base Class Accuracy Comparison Across Checkpoints",
+        os.path.join(out_dir, "compare_base_class_accuracy.png"),
+        xlabel="Base Class")
+    plot_accuracy_comparison(
+        full, first["classes"],
+        "Full Class Accuracy Comparison Across Checkpoints",
+        os.path.join(out_dir, "compare_full_class_accuracy.png"),
+        xlabel="Full Class (with strength)")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True, action="append",
+                   help="checkpoint path, or 'name=path'; repeat for a "
+                        "cross-checkpoint comparison (the reference's "
+                        "checkpoints dict, evaluate_daclip.py:167-171)")
     p.add_argument("--model", default="daclip_ViT-B-32")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--out-dir", default="eval_results")
     p.add_argument("--max-per-class", type=int, default=None)
     args = p.parse_args(argv)
-    evaluate_checkpoint(args.checkpoint, args.dataset, args.model,
-                        args.batch_size, args.out_dir, args.max_per_class)
+    results = {}
+    for spec in args.checkpoint:
+        name, _, path = spec.rpartition("=")
+        path = path or spec
+        name = name or os.path.splitext(os.path.basename(path))[0]
+        print(f"Evaluating {name}")
+        results[name] = evaluate_checkpoint(path, args.dataset, args.model,
+                                            args.batch_size, args.out_dir,
+                                            args.max_per_class)
+    if len(results) > 1:
+        compare_checkpoints(results, args.out_dir)
 
 
 if __name__ == "__main__":

@@ -142,6 +142,10 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
         cm[g, p] += 1
     np.savetxt(os.path.join(out_dir, f"confusion_matrix_{ckpt_name}.csv"), cm,
                fmt="%d", delimiter=",")
+    from daclip_tpu.eval.plots import plot_confusion_matrix
+    plot_confusion_matrix(  # evaluate_numclip.py:327-335
+        cm, classes, f"Confusion Matrix: {ckpt_name}",
+        os.path.join(out_dir, f"confusion_matrix_{ckpt_name}.png"))
 
     acc = float(np.mean(np.asarray(gt_ids) == np.asarray(pred_ids))) if gt_ids else 0
     bacc = float(np.mean(base_ok)) if base_ok else 0
@@ -153,21 +157,47 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
         if sel and has_predictor:
             mae[t] = float(np.mean(np.abs(all_preds[sel, tid]
                                           - np.asarray(all_gts)[sel])))
+    # per-class % accuracies ordered like classes/base_classes (the reference
+    # return, evaluate_numclip.py:353-356) for the cross-checkpoint plots
+    gt_a, pr_a = np.asarray(gt_ids), np.asarray(pred_ids)
+    full_class_acc = [
+        100.0 * float(np.mean(pr_a[gt_a == i] == i)) if np.any(gt_a == i)
+        else 0.0 for i in range(len(classes))]
+    base_class_acc = []
+    for b in base_classes:
+        sel = [i for i, g in enumerate(gt_ids)
+               if base_class_map[classes[g]] == b]
+        base_class_acc.append(
+            100.0 * float(np.mean([base_ok[i] for i in sel])) if sel else 0.0)
     print(f"fine acc {acc:.4f} | base acc {bacc:.4f} | regression MAE {mae}")
-    return {"accuracy": acc, "base_accuracy": bacc, "regression_mae": mae}
+    return {"accuracy": acc, "base_accuracy": bacc, "regression_mae": mae,
+            "classes": classes, "base_classes": base_classes,
+            "full_class_acc": full_class_acc, "base_class_acc": base_class_acc}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True)
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True, action="append",
+                   help="checkpoint path or 'name=path'; repeat to compare "
+                        "checkpoints (evaluate_numclip.py:359-407)")
     p.add_argument("--model", default="daclip_ViT-B-32")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--out-dir", default="numclip_results")
     p.add_argument("--max-per-class", type=int, default=None)
     args = p.parse_args(argv)
-    evaluate_checkpoint(args.checkpoint, args.dataset, args.model,
-                        args.batch_size, args.out_dir, args.max_per_class)
+    results = {}
+    for spec in args.checkpoint:
+        name, _, path = spec.rpartition("=")
+        path = path or spec
+        name = name or os.path.splitext(os.path.basename(path))[0]
+        print(f"Evaluating {name}")
+        results[name] = evaluate_checkpoint(path, args.dataset, args.model,
+                                            args.batch_size, args.out_dir,
+                                            args.max_per_class)
+    if len(results) > 1:
+        from daclip_tpu.eval.evaluate_daclip import compare_checkpoints
+        compare_checkpoints(results, args.out_dir)
 
 
 if __name__ == "__main__":

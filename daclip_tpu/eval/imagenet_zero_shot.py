@@ -15,17 +15,55 @@ import os
 import numpy as np
 
 
-def evaluate(checkpoint: str, dataset: str, model_name: str = "daclip_ViT-B-32",
-             batch_size: int = 64, max_per_class=None, classnames=None):
-    import jax
+def evaluate_with_encoders(encode_image, encode_text, dataset: str,
+                           image_size: int, batch_size: int = 64,
+                           max_per_class=None, classnames=None):
+    """Zero-shot top-1/top-5 with already-built (jitted) encoders — the
+    in-training path (--imagenet-val + --zeroshot-frequency,
+    training/train.py:380 → zero_shot.py:63-84)."""
     import jax.numpy as jnp
 
     from daclip_tpu.eval.zero_shot import (accuracy, build_zero_shot_classifier,
                                            load_imagenet_metadata)
-    from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
     from daclip_tpu.tokenizer import tokenize
     from daclip_tpu.transforms import clip_transform
     from daclip_tpu.data.util import read_img
+
+    meta_names, templates = load_imagenet_metadata()
+    dirs = sorted(d for d in os.listdir(dataset)
+                  if os.path.isdir(os.path.join(dataset, d)))
+    names = classnames or (meta_names if len(dirs) == 1000 else dirs)
+    classifier = build_zero_shot_classifier(encode_text, tokenize, names,
+                                            templates)   # (D, C)
+    classifier = np.asarray(classifier, np.float32)
+
+    res = int(image_size)
+    logits_all, targets = [], []
+    for ci, d in enumerate(dirs):
+        files = sorted(os.listdir(os.path.join(dataset, d)))[:max_per_class]
+        for i in range(0, len(files), batch_size):
+            batch = [clip_transform(
+                read_img(None, os.path.join(dataset, d, f))[:, :, ::-1], res)
+                for f in files[i: i + batch_size]]
+            feats = np.asarray(encode_image(jnp.asarray(np.stack(batch))),
+                               np.float32)
+            logits_all.append(100.0 * feats @ classifier)
+            targets.extend([ci] * len(batch))
+    logits = np.concatenate(logits_all)
+    top1, top5 = accuracy(logits, np.asarray(targets), topk=(1, 5))
+    print(f"imagenet zero-shot: top1 {top1:.4f} top5 {top5:.4f} "
+          f"({len(targets)} images, {len(dirs)} classes)")
+    return {"imagenet-zeroshot-val-top1": top1,
+            "imagenet-zeroshot-val-top5": top5}
+
+
+def evaluate(checkpoint: str, dataset: str, model_name: str = "daclip_ViT-B-32",
+             batch_size: int = 64, max_per_class=None, classnames=None):
+    """Checkpoint-based CLI entry (builds a DaCLIP from a torch checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
     from daclip_tpu.utils.torch_convert import (convert_daclip, convert_clip,
                                                 load_torch_state_dict)
 
@@ -46,33 +84,9 @@ def evaluate(checkpoint: str, dataset: str, model_name: str = "daclip_ViT-B-32",
                                                 method=model.encode_text))
     encode_image = jax.jit(lambda im: model.apply(params, im, normalize=True,
                                                   method=model.encode_image))
-
-    meta_names, templates = load_imagenet_metadata()
-    dirs = sorted(d for d in os.listdir(dataset)
-                  if os.path.isdir(os.path.join(dataset, d)))
-    names = classnames or (meta_names if len(dirs) == 1000 else dirs)
-    classifier = build_zero_shot_classifier(encode_text, tokenize, names,
-                                            templates)   # (D, C)
-    classifier = np.asarray(classifier, np.float32)
-
-    res = int(cfg.vision.image_size)
-    logits_all, targets = [], []
-    for ci, d in enumerate(dirs):
-        files = sorted(os.listdir(os.path.join(dataset, d)))[:max_per_class]
-        for i in range(0, len(files), batch_size):
-            batch = [clip_transform(
-                read_img(None, os.path.join(dataset, d, f))[:, :, ::-1], res)
-                for f in files[i: i + batch_size]]
-            feats = np.asarray(encode_image(jnp.asarray(np.stack(batch))),
-                               np.float32)
-            logits_all.append(100.0 * feats @ classifier)
-            targets.extend([ci] * len(batch))
-    logits = np.concatenate(logits_all)
-    top1, top5 = accuracy(logits, np.asarray(targets), topk=(1, 5))
-    print(f"imagenet zero-shot: top1 {top1:.4f} top5 {top5:.4f} "
-          f"({len(targets)} images, {len(dirs)} classes)")
-    return {"imagenet-zeroshot-val-top1": top1,
-            "imagenet-zeroshot-val-top5": top5}
+    return evaluate_with_encoders(encode_image, encode_text, dataset,
+                                  cfg.vision.image_size, batch_size,
+                                  max_per_class, classnames)
 
 
 def main(argv=None):

@@ -88,6 +88,16 @@ def test_evaluate_daclip_end_to_end(tmp_path):
     assert 0.0 <= res["accuracy"] <= 1.0
     assert (tmp_path / "out" / "per_class_accuracy.csv").exists()
     assert (tmp_path / "out" / "confusion_matrix.csv").exists()
+    # plot artifacts (evaluate_daclip.py:150-218 parity)
+    assert (tmp_path / "out" / "confusion_matrix_tiny_daclip.png").exists()
+    assert len(res["full_class_acc"]) == len(res["classes"]) == 2
+    # cross-checkpoint comparison artifacts from two (identical) runs
+    from daclip_tpu.eval.evaluate_daclip import compare_checkpoints
+    compare_checkpoints({"a": res, "b": res}, str(tmp_path / "out"))
+    for png in ["base_class_accuracy_table.png",
+                "compare_base_class_accuracy.png",
+                "compare_full_class_accuracy.png"]:
+        assert (tmp_path / "out" / png).exists()
 
 
 @requires_reference
@@ -125,3 +135,5 @@ def test_evaluate_numclip_end_to_end(tmp_path):
     assert emb.exists()
     feats = np.load(emb)
     assert feats.shape == (4, 32)
+    assert (tmp_path / "out" / "confusion_matrix_tiny_numclip.png").exists()
+    assert len(res["base_class_acc"]) == len(res["base_classes"]) == 2
