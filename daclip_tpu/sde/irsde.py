@@ -258,13 +258,23 @@ class IRSDE:
 
         return self._scan_reverse(step, xt, T)
 
-    def reverse_posterior(self, noise_fn: NoiseFn, xt, mu, key, T: int = -1, **ctx):
-        """Default sampler: posterior-mean steps (sde_utils.py:297-313)."""
+    def reverse_posterior(self, noise_fn: NoiseFn, xt, mu, key, T: int = -1,
+                          noises=None, **ctx):
+        """Default sampler: posterior-mean steps (sde_utils.py:297-313).
+
+        `noises`: optional explicit per-step gaussian bank, shape
+        (T, *x.shape), indexed noises[t-1] for step t — the deterministic
+        hook golden-parity tests use to replay the torch reference's
+        torch.randn_like draws (test.py e2e fixture)."""
 
         def step(x, t):
             tb = jnp.full((x.shape[0],), t * self.sample_scale, dtype=jnp.float32)
             noise = noise_fn(x, mu, tb, **ctx)
-            z = jax.random.normal(jax.random.fold_in(key, t), x.shape, x.dtype)
+            if noises is not None:
+                z = jnp.take(noises, t - 1, axis=0).astype(x.dtype)
+            else:
+                z = jax.random.normal(jax.random.fold_in(key, t), x.shape,
+                                      x.dtype)
             return self.reverse_posterior_step(x, noise, mu, t, z), None
 
         return self._scan_reverse(step, xt, T)
