@@ -22,7 +22,33 @@ import time
 import numpy as np
 
 
-def build_dataloaders(opt, num_hosts=1, host_id=0):
+def _precompute_contexts(ds, context_fn, log, chunk: int = 32):
+    """One pass of the frozen DA-CLIP tower over the dataset's deterministic
+    full-image CLIP views (datasets.clip_view) → per-sample context cache.
+    Chunked + tail-padded so the encoder compiles exactly once."""
+    import jax.numpy as jnp
+
+    from daclip_tpu.data.datasets import CachedContextDataset
+
+    n = len(ds)
+    img_out, txt_out = [], []
+    t0 = time.time()
+    for s0 in range(0, n, chunk):
+        idx = list(range(s0, min(s0 + chunk, n)))
+        views = np.stack([ds.clip_view(i) for i in idx])
+        pad = chunk - len(idx)
+        if pad:
+            views = np.concatenate([views, np.repeat(views[-1:], pad, 0)])
+        ic, tc = context_fn(jnp.asarray(views))
+        img_out.append(np.asarray(ic, np.float32)[:len(idx)])
+        txt_out.append(np.asarray(tc, np.float32)[:len(idx)])
+    log.info("cached frozen DA-CLIP contexts for %d samples in %.1fs",
+             n, time.time() - t0)
+    return CachedContextDataset(ds, np.concatenate(img_out),
+                                np.concatenate(txt_out))
+
+
+def build_dataloaders(opt, num_hosts=1, host_id=0, context_fn=None, log=None):
     from daclip_tpu.data import DataLoader, IterSampler, create_dataset
 
     train_loader = val_loader = None
@@ -30,6 +56,15 @@ def build_dataloaders(opt, num_hosts=1, host_id=0):
         phase = phase.split("_")[0]
         if phase == "train":
             ds = create_dataset(dataset_opt)
+            if (dataset_opt.get("cache_clip_contexts") and context_fn is not None
+                    and hasattr(ds, "clip_view")):
+                ds = _precompute_contexts(ds, context_fn, log)
+            elif dataset_opt.get("cache_clip_contexts"):
+                (log or logging).warning(
+                    "cache_clip_contexts ignored: %s",
+                    "no frozen DA-CLIP tower" if context_fn is None else
+                    f"{type(ds).__name__} has no deterministic clip_view "
+                    "(MD/MDGT synthesize LQ per epoch)")
             ratio = dataset_opt.get("dataset_enlarge_ratio", 200)
             sampler = IterSampler(len(ds), host_id=host_id, num_hosts=num_hosts,
                                   ratio=ratio)
@@ -192,7 +227,9 @@ def main(argv=None):
     base_step = make_train_step(unet.apply, sde, cfg)
 
     def full_step(state, batch, key):
-        if daclip_apply is not None:
+        # cached-context batches carry text/image_context directly and no
+        # LQ_clip (CachedContextDataset); otherwise extract in-jit
+        if daclip_apply is not None and "LQ_clip" in batch:
             img_ctx, degra_ctx = daclip_apply(batch["LQ_clip"])
             batch = dict(batch, text_context=degra_ctx, image_context=img_ctx)
         batch.pop("LQ_clip", None)
@@ -209,8 +246,10 @@ def main(argv=None):
     # per-host data sharding: each host feeds a distinct stripe of the global
     # batch (IterSampler host striding; identical feeds would silently
     # replicate samples across the GSPMD global batch)
+    ctx_fn = (jax.jit(daclip_apply) if daclip_apply is not None else None)
     train_loader, val_ds = build_dataloaders(
-        opt, num_hosts=jax.process_count(), host_id=jax.process_index())
+        opt, num_hosts=jax.process_count(), host_id=jax.process_index(),
+        context_fn=ctx_fn, log=log)
     val_freq = int(train_opt.get("val_freq", 1e4))
     save_freq = int((opt["logger"] or {}).get("save_checkpoint_freq", 1e4))
     print_freq = int((opt["logger"] or {}).get("print_freq", 200))
@@ -258,13 +297,10 @@ def main(argv=None):
         for batch in train_loader:
             if step >= niter:
                 break
-            dev_batch = {
-                "LQ": jax.device_put(batch["LQ"], batch_sharding),
-                "GT": jax.device_put(batch["GT"], batch_sharding),
-            }
-            if daclip_apply is not None:
-                dev_batch["LQ_clip"] = jax.device_put(batch["LQ_clip"],
-                                                      batch_sharding)
+            keys = ("LQ", "GT", "image_context", "text_context") + \
+                (("LQ_clip",) if daclip_apply is not None else ())
+            dev_batch = {k: jax.device_put(v, batch_sharding)
+                         for k, v in batch.items() if k in keys}
             state, m = step_fn(state, dev_batch, jax.random.fold_in(key, step))
             step += 1
             if step % print_freq == 0:

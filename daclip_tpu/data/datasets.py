@@ -90,7 +90,8 @@ class MDDataset:
             img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
             img_LQ = util.channel_convert(img_LQ.shape[2], self.opt["color"], [img_LQ])[0]
 
-        out = _finalize(img_GT, img_LQ, self.rng)
+        out = _finalize(img_GT, img_LQ, self.rng,
+                        self.opt.get("clip_size", 224))
         out.update({"type": deg_type, "GT_path": GT_path, "LQ_path": LQ_path})
         return out
 
@@ -129,7 +130,8 @@ class MDGTDataset:
                                               self.opt.get("color", "RGB"),
                                               [img_GT])[0]
         img_LQ = deg_util.random_degrade(img_GT, rng=self.rng)
-        out = _finalize(img_GT, img_LQ, self.rng)
+        out = _finalize(img_GT, img_LQ, self.rng,
+                        self.opt.get("clip_size", 224))
         out["GT_path"] = GT_path
         return out
 
@@ -202,9 +204,54 @@ class LQGTDataset:
             img_LR = util.channel_convert(img_LR.shape[2], self.opt["color"], [img_LR])[0]
             img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
 
-        out = _finalize(img_GT, img_LR, self.rng)
+        out = _finalize(img_GT, img_LR, self.rng,
+                        self.opt.get("clip_size", 224))
         out.update({"LQ_path": LR_path, "GT_path": GT_path})
         return out
+
+    def clip_view(self, index: int) -> np.ndarray:
+        """Deterministic (224,224,3) CLIP view of the FULL LQ image — no crop,
+        no augmentation.  Used by frozen-context caching (CachedContextDataset):
+        with the DA-CLIP tower frozen, the context of sample `index` never
+        changes across epochs, so it can be computed once.  Note the semantic
+        difference from the reference (LQGT_dataset.py:143 derives lq4clip from
+        the augmented random crop): the cached variant conditions on the whole
+        image — opt-in via `cache_clip_contexts`."""
+        if self.is_lmdb and self.LR_env is None:
+            self.LR_env = util.open_lmdb(self.opt["dataroot_LQ"])
+        img_LR = util.read_img(
+            self.LR_env if self.is_lmdb else None, self.LR_paths[index],
+            self._resolution(self.LR_sizes, index) if self.is_lmdb else None)
+        if img_LR.shape[2] == 3:
+            img_LR = img_LR[:, :, ::-1].copy()     # BGR→RGB like _finalize
+        return clip_transform(img_LR, self.opt.get("clip_size", 224))
+
+
+class CachedContextDataset:
+    """Wraps a paired train dataset with PRECOMPUTED frozen DA-CLIP contexts.
+
+    With `path.daclip` frozen, per-sample contexts are deterministic functions
+    of the LQ image, so recomputing the ViT tower every training step (the
+    reference's train.py:254-257 no_grad block) is pure waste on TPU.  Samples
+    gain 'image_context'/'text_context' (D,) f32 arrays and drop 'LQ_clip',
+    which removes the CLIP forward from the jitted train step entirely.
+    Enabled by `datasets.train.cache_clip_contexts: true` (train_restoration)."""
+
+    def __init__(self, ds, image_ctx: np.ndarray, text_ctx: np.ndarray):
+        assert len(ds) == len(image_ctx) == len(text_ctx)
+        self.ds = ds
+        self.image_ctx = image_ctx
+        self.text_ctx = text_ctx
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, index: int) -> Dict:
+        s = self.ds[index]
+        s.pop("LQ_clip", None)
+        s["image_context"] = self.image_ctx[index]
+        s["text_context"] = self.text_ctx[index]
+        return s
 
 
 class LQDataset:
@@ -222,7 +269,8 @@ class LQDataset:
         img_LR = util.read_img(None, LR_path)
         if self.opt.get("color"):
             img_LR = util.channel_convert(img_LR.shape[2], self.opt["color"], [img_LR])[0]
-        out = _finalize(None, img_LR)
+        out = _finalize(None, img_LR,
+                        clip_res=self.opt.get("clip_size", 224))
         out["LQ_path"] = LR_path
         return out
 
@@ -256,7 +304,8 @@ class GTDataset:
                                   self.opt.get("use_rot", True), rng=self.rng)[0]
         sigma = self.opt.get("sigma", 25)
         img_LQ = deg_util.add_gaussian_noise(img_GT, sigma, rng=self.rng)
-        out = _finalize(img_GT, img_LQ, self.rng)
+        out = _finalize(img_GT, img_LQ, self.rng,
+                        self.opt.get("clip_size", 224))
         out["GT_path"] = GT_path
         return out
 

@@ -218,3 +218,43 @@ def test_degrade_blur_param_is_sigma():
              for p in (0.5, 1.0, 2.0, 4.0)]
     assert grads == sorted(grads, reverse=True)
     assert np.isfinite(degrade(img, "blur", 0.5)).all()
+
+
+def test_cached_context_dataset(img_dirs):
+    """Frozen-context caching (VERDICT r1 #10): clip_view is deterministic,
+    _precompute_contexts attaches per-sample contexts, and batches drop
+    LQ_clip so the CLIP tower leaves the train step entirely."""
+    import logging
+
+    from daclip_tpu.cli.train_restoration import _precompute_contexts
+    from daclip_tpu.data import create_dataset
+
+    ds = create_dataset({"mode": "LQGT", "phase": "train", "patch_size": 16,
+                         "use_flip": True, "use_rot": True,
+                         "dataroot_GT": os.path.join(img_dirs, "noisy", "GT"),
+                         "dataroot_LQ": os.path.join(img_dirs, "noisy", "LQ")})
+    v0, v1 = ds.clip_view(0), ds.clip_view(0)
+    assert v0.shape == (224, 224, 3)
+    np.testing.assert_array_equal(v0, v1)
+
+    def fake_ctx(views):  # stand-in frozen DA-CLIP tower
+        m = np.asarray(views).mean(axis=(1, 2, 3))
+        img = np.stack([m, m + 1], -1)
+        return img, img * 2
+
+    cached = _precompute_contexts(ds, fake_ctx, logging.getLogger("t"),
+                                  chunk=2)
+    assert len(cached) == len(ds)
+    s = cached[1]
+    assert "LQ_clip" not in s
+    assert s["image_context"].shape == (2,)
+    np.testing.assert_allclose(s["text_context"], s["image_context"] * 2,
+                               rtol=1e-6)
+    # context of sample i must match a direct encode of its clip_view
+    np.testing.assert_allclose(
+        cached.image_ctx[2], fake_ctx(ds.clip_view(2)[None])[0][0], rtol=1e-5)
+    # collate through the loader: contexts batch, LQ/GT crops still augment
+    dl = DataLoader(cached, batch_size=3, shuffle=False, num_workers=0)
+    b = next(iter(dl))
+    assert b["image_context"].shape == (3, 2) and "LQ_clip" not in b
+    assert b["LQ"].shape == (3, 16, 16, 3)
