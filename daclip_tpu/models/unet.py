@@ -173,6 +173,15 @@ class Conv1x1Pair(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, Cin, self.features), jnp.float32)
         w = kernel.reshape(Cin, self.features).astype(self.dtype)
+        # XLA lowers this dot on a conv-layout operand through the slow conv
+        # sublane emitter (~11 TF/s profiled at 256²/C64); the pallas row-dot
+        # (ops/pointwise.py) beats it in isolation but LOSES at full-forward
+        # level (131 vs 119 ms) — opt-in only, DACLIP_TPU_POINTWISE=1
+        from daclip_tpu.ops.pointwise import dual_conv1x1, pointwise_supported
+        if pointwise_supported(x, skip, O=self.features):
+            return dual_conv1x1(x.astype(self.dtype),
+                                None if skip is None
+                                else skip.astype(self.dtype), w)
         y = jnp.dot(x.reshape(-1, Cx), w[:Cx])
         if skip is not None:
             y = y + jnp.dot(skip.reshape(-1, Cin - Cx), w[Cx:])
