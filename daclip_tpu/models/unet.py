@@ -150,6 +150,17 @@ class ResBlock(nn.Module):
             scale_shift = jnp.split(h, 2, axis=-1)
         h = Block(self.dim_out, dtype=self.dtype, name="block1")(x, scale_shift,
                                                                  skip=skip)
+        import os
+        bar = os.environ.get("DACLIP_TPU_BLOCK_BARRIER", "1")
+        if bar != "0" and min(h.shape[1], h.shape[2]) >= int(bar):
+            # stop XLA input-fusing block1's (scale+1)·x+shift → SiLU epilogue
+            # into block2's 3×3 conv: input fusion recomputes the elementwise
+            # prologue per overlapping window (up to 9×); one materialized
+            # HBM round-trip is cheaper (full-forward chained B32/256² on
+            # v5e: 115.7 ms all-levels vs 118.9 without, thresholds 64/128
+            # marginally worse — BASELINE.md).  "0" disables; an integer
+            # sets the min spatial size to apply ("1" = every level)
+            h = jax.lax.optimization_barrier(h)
         h = Block(self.dim_out, dtype=self.dtype, name="block2")(h)
         in_ch = x.shape[-1] + (0 if skip is None else skip.shape[-1])
         if in_ch != self.dim_out:

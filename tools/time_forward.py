@@ -10,6 +10,7 @@ questions — isolated microbenches invert (see ops/conv3x3.py history).
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 
@@ -20,6 +21,8 @@ def main(argv=None):
     ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--wild-ir", action="store_true")
+    ap.add_argument("--vmem-kib", type=int, default=0,
+                    help="xla_tpu_scoped_vmem_limit_kib compiler option")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,7 +48,10 @@ def main(argv=None):
     params = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype), params)
     tb = jnp.full((B,), 50.0)
 
-    @jax.jit
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(args.vmem_kib)}
+            if args.vmem_kib else None)
+
+    @functools.partial(jax.jit, compiler_options=opts)
     def chained(p, x0):
         def body(i, x):
             y = net.apply(p, x, x0, tb + i, ctx, ctx)
