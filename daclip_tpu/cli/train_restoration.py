@@ -235,9 +235,13 @@ def main(argv=None):
         batch.pop("LQ_clip", None)
         return base_step(state, batch, key)
 
-    # buffer donation deadlocks XLA:CPU collectives AND hit a TPU runtime
-    # InvalidArgument on the large 256² training program via axon — default off,
-    # opt in with DACLIP_TPU_DONATE=1
+    # buffer donation deadlocks XLA:CPU collectives AND is unsupported by the
+    # axon remote executor: root-caused r2 (tools/repro_donate.py) — a donated
+    # step fails with a runtime INVALID_ARGUMENT at EVERY size (128² incl.),
+    # and the error wedges the backend (subsequent device_put fails), i.e.
+    # the tunnel cannot alias input buffers at all; not a program-size or
+    # remat issue.  Default off here; enable via DACLIP_TPU_DONATE=1 on
+    # direct-attached TPU runtimes where aliasing works
     import os as _os
     donate = ((0,) if (_os.environ.get("DACLIP_TPU_DONATE") == "1"
                        and jax.default_backend() != "cpu") else ())
