@@ -141,6 +141,8 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb: Optional[jnp.ndarray] = None, skip=None):
+        import os
+
         scale_shift = None
         if self.time_emb and time_emb is not None:
             h = nn.silu(time_emb)
@@ -148,9 +150,60 @@ class ResBlock(nn.Module):
                          param_dtype=jnp.float32, name="mlp")(h)
             h = h[:, None, None, :]
             scale_shift = jnp.split(h, 2, axis=-1)
-        h = Block(self.dim_out, dtype=self.dtype, name="block1")(x, scale_shift,
-                                                                 skip=skip)
-        import os
+
+        in_ch = x.shape[-1] + (0 if skip is None else skip.shape[-1])
+        need_res = in_ch != self.dim_out
+        # Merged block1+res_conv: when the residual needs a 1×1 projection and
+        # dim_out ≤ 64 (half the 128-wide MXU), evaluate block1's 3×3 conv and
+        # res_conv as ONE conv with 2·dim_out output channels (the 1×1 kernel
+        # embedded as the center tap of a 3×3).  Exactly the same math, but
+        #   * the res_conv dot — which XLA emits through an 11 TF/s sublane
+        #     conv path on the NHWC operand (3.07 ms each at 256², profiled)
+        #     — disappears into the conv, and
+        #   * the conv's MXU output-lane utilization doubles (N 64→128),
+        # so the merged conv costs what block1 alone used to.  At dim_out ≥
+        # 128 the conv is already full-width and the center-tap zeros would
+        # add 80% real FLOPs — keep the separate dot there.
+        merge = (need_res and skip is None  # concat path (default wiring)
+                 and 2 * self.dim_out <= 128
+                 and os.environ.get("DACLIP_TPU_MERGE_RES", "1") == "1")
+        if merge:
+            blk = Block(self.dim_out, dtype=self.dtype, name="block1")
+            _ = blk(jnp.zeros((1, 3, 3, in_ch), x.dtype))
+            rc = Conv1x1Pair(self.dim_out, dtype=self.dtype, name="res_conv")
+            _ = rc(jnp.zeros((1, 1, 1, in_ch), x.dtype))
+            k3 = blk.variables["params"]["proj"]["kernel"]
+            k1 = rc.variables["params"]["kernel"]
+            km = jnp.concatenate(
+                [k3, jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))],
+                axis=-1).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, km, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # Apply block1's (scale+1)·x+shift → SiLU epilogue to the FULL
+            # 2·dim_out output in ONE channel-masked elementwise pass (the res
+            # half rides through via zero scale/shift), so XLA epilogue-fuses
+            # it into the conv — slicing h first demotes it to a standalone
+            # 1.6 ms HBM pass (profiled).
+            if scale_shift is not None:
+                scale, shift = scale_shift
+                pad = ((0, 0), (0, 0), (0, 0), (0, self.dim_out))
+                w = (y * (jnp.pad(scale.astype(y.dtype), pad) + 1.0)
+                     + jnp.pad(shift.astype(y.dtype), pad))
+            else:
+                w = y
+            cmask = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, 2 * self.dim_out), 3) < self.dim_out
+            z = jnp.where(cmask, nn.silu(w), w)
+            h, res = z[..., :self.dim_out], z[..., self.dim_out:]
+        else:
+            h = Block(self.dim_out, dtype=self.dtype, name="block1")(
+                x, scale_shift, skip=skip)
+            if need_res:
+                res = Conv1x1Pair(self.dim_out, dtype=self.dtype,
+                                  name="res_conv")(x, skip)
+            else:
+                res = x
         bar = os.environ.get("DACLIP_TPU_BLOCK_BARRIER", "1")
         if bar != "0" and min(h.shape[1], h.shape[2]) >= int(bar):
             # stop XLA input-fusing block1's (scale+1)·x+shift → SiLU epilogue
@@ -162,12 +215,6 @@ class ResBlock(nn.Module):
             # sets the min spatial size to apply ("1" = every level)
             h = jax.lax.optimization_barrier(h)
         h = Block(self.dim_out, dtype=self.dtype, name="block2")(h)
-        in_ch = x.shape[-1] + (0 if skip is None else skip.shape[-1])
-        if in_ch != self.dim_out:
-            res = Conv1x1Pair(self.dim_out, dtype=self.dtype,
-                              name="res_conv")(x, skip)
-        else:
-            res = x
         return h + res
 
 

@@ -126,3 +126,29 @@ def test_unet_scalar_time_and_no_context():
     params = net.init(jax.random.PRNGKey(0), xt, xt * 0.5, 7.0)
     out = net.apply(params, xt, xt * 0.5, 7.0)
     assert out.shape == (2, 16, 16, 3)
+
+
+def test_resblock_merged_res_conv_matches_separate(monkeypatch):
+    """The merged block1+res_conv conv (DACLIP_TPU_MERGE_RES, models/unet.py)
+    must be numerically equivalent to the separate conv + 1x1 dot, with an
+    identical param tree (it is an apply-time reparameterization only)."""
+    from daclip_tpu.models.unet import ResBlock
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 12, 12, 128), jnp.float32)
+    t = jax.random.normal(jax.random.fold_in(key, 1), (2, 256), jnp.float32)
+    rb = ResBlock(64, dtype=jnp.float32)
+
+    monkeypatch.setenv("DACLIP_TPU_MERGE_RES", "1")
+    p1 = rb.init(jax.random.PRNGKey(7), x, t)
+    y1 = rb.apply(p1, x, t)
+    monkeypatch.setenv("DACLIP_TPU_MERGE_RES", "0")
+    p0 = rb.init(jax.random.PRNGKey(7), x, t)
+    y0 = rb.apply(p0, x, t)
+
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)
