@@ -22,6 +22,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -270,7 +271,7 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
 
         from daclip_tpu.ops.linear_attention import (
-            attn_wrap_fused, linear_attention_fused,
+            attn_wrap_fused, attn_wrap_fused_v5, linear_attention_fused,
             linear_attention_reference, linear_attention_supported)
 
         qkv_mod = Conv1x1(hidden * 3, dtype=self.dtype, name="to_qkv")
@@ -288,15 +289,23 @@ class LinearAttention(nn.Module):
             w_out = out_mod.variables["params"]["kernel"].reshape(hidden, C)
             b_out = out_mod.variables["params"]["bias"]
             g_out = norm_mod.variables["params"]["g"]
-            # v3 whole-wrap fusion is opt-in and MEASURED SLOWER end-to-end
-            # (chained full-forward at B32/256²: 149.6 ms vs 123.4 ms with the
-            # v2 wiring): in the full graph XLA fuses the prenorm/residual into
-            # neighbouring ops for ~free, while the kernel pays the LN
-            # recompute in both passes.  Isolated micro-benchmarks invert this
-            # — always A/B at the full-forward level.
+            # v5 whole-wrap: prenorm LN + attention + out-proj + LN + residual
+            # via the v4 SPLIT kernels (stats → apply), LN inline on the VPU.
+            # Unlike the retired v3 two-phase wrap (149.6 ms fwd — redundant
+            # phase-0 output writes), v5 keeps single-visit writes and removes
+            # the XLA-side LN reduces + residual copy_add (~3.3 ms per L0
+            # call, profiled).  DACLIP_TPU_V5_WRAP=0 restores the v4 wiring.
+            if (g_pre is not None
+                    and os.environ.get("DACLIP_TPU_V5_WRAP", "1") == "1"):
+                out = attn_wrap_fused_v5(
+                    x.reshape(B, n, C).astype(self.dtype),
+                    g_pre.astype(self.dtype), w_qkv.astype(self.dtype),
+                    w_out.astype(self.dtype), b_out.astype(self.dtype),
+                    g_out.astype(self.dtype))
+                return out.reshape(B, H, W, C).astype(x.dtype), True
             if (g_pre is not None
                     and os.environ.get("DACLIP_TPU_V3_WRAP", "0") == "1"):
-                # v3: prenorm + attention + out-proj + LN + residual in ONE op
+                # v3 two-phase wrap: kept for reference, measured slower
                 out = attn_wrap_fused(
                     x.reshape(B, n, C).astype(self.dtype),
                     g_pre.astype(self.dtype), w_qkv.astype(self.dtype),
@@ -592,28 +601,103 @@ class ConditionalUNet(nn.Module):
 
         x = rb_with_skip(RB(nf, dtype=self.dtype, name="final_res_block"),
                          x, x_skip)
-        x = nn.Conv(self.out_nc, (3, 3), padding=1, use_bias=True,
-                    dtype=self.dtype, param_dtype=jnp.float32, name="final_conv")(x)
+        x = TapDotConv3x3(self.out_nc, dtype=self.dtype, name="final_conv")(x)
         return x[:, :Hh, :Ww, :].astype(jnp.float32)
+
+
+class TapDotConv3x3(nn.Module):
+    """3×3 conv with very few output channels (the UNet's final out_nc=3 head),
+    evaluated as one tap-stacked matmul x·W(C, 9·out_nc) followed by a 9-slice
+    shift-add — param-compatible with nn.Conv (kernel (3,3,C,out_nc), bias).
+
+    Rationale: the TPU conv emitter pads the 3-channel output to full lanes
+    and ran this op at 3.0-4.8 ms at B32/256² (profiled, BASELINE.md); the
+    matmul form does the same math with K=C contraction and a cheap
+    elementwise gather.  bf16-only (the per-tap partials round to bf16 before
+    the f32 shift-add; the f32/CPU path keeps the exact single-conv form)."""
+    out_nc: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        B, H, W, C = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.out_nc), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_nc,), jnp.float32)
+        tap = (self.dtype == jnp.bfloat16
+               and os.environ.get("DACLIP_TPU_TAP_FINAL", "1") == "1")
+        if not tap:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(self.dtype)
+        w27 = kernel.transpose(2, 0, 1, 3).reshape(
+            C, 9 * self.out_nc).astype(self.dtype)
+        yt = jnp.dot(x.reshape(-1, C), w27).reshape(B, H, W, 9 * self.out_nc)
+        yp = jnp.pad(yt, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((B, H, W, self.out_nc), jnp.float32)
+        for dr in range(3):
+            for dw in range(3):
+                t = 3 * dr + dw
+                acc = acc + yp[:, dr:dr + H, dw:dw + W,
+                               t * self.out_nc:(t + 1) * self.out_nc
+                               ].astype(jnp.float32)
+        return (acc + bias).astype(self.dtype)
 
 
 class Upsample2x(nn.Module):
     """nearest 2× + conv3x3(bias) (module_util.py:100-104).
 
-    The 2× replication is one broadcast+reshape (single materialisation) —
-    measured ~25% faster than chained jnp.repeat, which materialises the
-    half-upsampled intermediate too."""
+    Two equivalent evaluations, chosen per shape:
+      * polyphase (dim_out < 128): because nearest-2× duplicates pixels, the
+        fine-grid 3×3 conv collapses per output phase (p,q)∈{0,1}² onto ≤2
+        coarse taps per axis; evaluated as ONE coarse-res conv3×3(C→4·dim_out)
+        (zero-padded per-phase taps) + pixel shuffle.  Same FLOPs but full MXU
+        output lanes (N=4·dim_out vs dim_out) and no 2×-materialised
+        intermediate — at up1 (256², 128→64) this replaces a 3.19 ms
+        half-utilized conv + 1.05 ms broadcast (profiled).  Exact same math.
+      * broadcast+reshape then conv (dim_out ≥ 128 — conv already full-width;
+        measured ~25% faster than chained jnp.repeat)."""
     dim_out: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         B, H, W, C = x.shape
-        x = jnp.broadcast_to(x[:, :, None, :, None, :],
-                             (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
-        return nn.Conv(self.dim_out, (3, 3), padding=1, use_bias=True,
-                       dtype=self.dtype, param_dtype=jnp.float32,
-                       name="conv")(x)
+        m = nn.Conv(self.dim_out, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")
+        poly = (self.dim_out < 128
+                and os.environ.get("DACLIP_TPU_POLY_UP", "1") == "1")
+        if not poly:
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
+            return m(x)
+        _ = m(jnp.zeros((1, 3, 3, C), x.dtype))
+        k = m.variables["params"]["kernel"]  # (3,3,C,O)
+        bias = m.variables["params"]["bias"]
+        # R[da, p, dr] = [ floor((p+dr-1)/2) == da ]: which coarse tap (da ∈
+        # {-1,0,1} → index 0..2) each fine tap dr lands on for output phase p
+        R = np.zeros((3, 2, 3), np.float32)
+        for p in range(2):
+            for dr in range(3):
+                R[(p + dr - 1) // 2 + 1, p, dr] = 1.0
+        R = jnp.asarray(R)
+        kp = jnp.einsum("apr,bqs,rsio->abipqo", R, R, k)
+        kp = kp.reshape(3, 3, C, 4 * self.dim_out).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + jnp.tile(bias, 4).astype(self.dtype)
+        # pixel shuffle via transpose (measured 109.1 vs 110.7 ms full-forward
+        # against a channel-slice + row-stack formulation)
+        y = y.reshape(B, H, W, 2, 2, self.dim_out)
+        return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            B, 2 * H, 2 * W, self.dim_out)
 
 
 class Downsample2x(nn.Module):

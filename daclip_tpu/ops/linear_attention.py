@@ -372,6 +372,181 @@ def linear_attention_fused_v4(xn: jnp.ndarray, w_qkv: jnp.ndarray,
     )(xn, w_qkv[:, :HID], w, w_out, b_out.reshape(1, -1), g_out.reshape(1, -1))
 
 
+def _ln_mxu(x_raw, g):
+    """ChannelLayerNorm of a (chunk, C) block with the cross-lane mean/var
+    reductions done as tiny MXU dots against a ones matrix — the VPU lane
+    reduction on a C=64 f32 block measured ~1.7 ms per 268 MB stream, most of
+    the v5 kernels' overhead.  var uses the exact E[(x-μ)²] form."""
+    C = x_raw.shape[1]
+    xf = x_raw.astype(jnp.float32)
+    ones = jnp.ones((C, 128), jnp.float32)
+    mu = jax.lax.dot_general(xf, ones, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)[:, :1] / C
+    xc = xf - mu
+    var = jax.lax.dot_general(xc * xc, ones, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)[:, :1] / C
+    return (xc * jax.lax.rsqrt(var + 1e-5)
+            * g.astype(jnp.float32)), xf
+
+
+def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_ref, s_ref,
+                     ctx_ref, *, nchunks):
+    """v5 stats kernel: v4's pass A taking RAW x — the PreNorm ChannelLayerNorm
+    is computed inline (MXU-dot reductions, see _ln_mxu) instead of as separate
+    XLA reduce/normalize passes over the 268 MB L0 stream (1.0+0.7+1.6 ms per
+    call, profiled)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        ctx_ref[:] = jnp.zeros_like(ctx_ref)
+
+    xn, _ = _ln_mxu(x_ref[0], gpre_ref[:])
+    xn = xn.astype(jnp.bfloat16)
+    kv = jax.lax.dot_general(xn, wkv_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    k = kv[:, :HID]
+    v = kv[:, HID:].astype(jnp.bfloat16)
+    m_old = m_ref[:]
+    m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(k - m_new).astype(jnp.bfloat16)
+    s_ref[:] = s_ref[:] * alpha + jnp.sum(p.astype(jnp.float32), axis=0,
+                                          keepdims=True)
+    ctx_ref[:] = ctx_ref[:] * alpha.reshape(HID, 1) + jax.lax.dot_general(
+        p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(c == nchunks - 1)
+    def _emit():
+        ctx_out[0] = ctx_ref[:]
+        s_out[0] = s_ref[:]
+
+
+def _kernel_apply_v5(x_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
+                     gout_ref, out_ref):
+    """v5 apply kernel: v4's pass B taking RAW x — prenorm LN recomputed
+    inline (MXU-dot reductions), and the Residual add folded into the output
+    write (kills the separate 2.3 ms copy+add fusion per L0 call)."""
+    xn, xf = _ln_mxu(x_ref[0], gpre_ref[:])
+    xn = xn.astype(jnp.bfloat16)
+    q = jax.lax.dot_general(xn, wq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 0) // DIM_HEAD
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 1) // DIM_HEAD
+    ones_bd = (d_ids == e_ids).astype(jnp.float32)
+    q = q - jnp.max(q)
+    q_exp = jnp.exp(q)
+    denom = jax.lax.dot_general(q_exp, ones_bd, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    q_soft = (q_exp / denom).astype(jnp.bfloat16)
+    attn = jax.lax.dot_general(q_soft, w_ref[0], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    y = jax.lax.dot_general(attn.astype(jnp.bfloat16), wout_ref[:],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = y + bout_ref[:].astype(jnp.float32)
+    y, _ = _ln_mxu(y, gout_ref[:])
+    out_ref[0] = (y + xf).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
+                 w_out: jnp.ndarray, b_out: jnp.ndarray, g_out: jnp.ndarray,
+                 interpret: bool = False):
+    """Whole Residual(PreNorm(LinearAttention)) on RAW x via the v4 SPLIT
+    kernel structure (stats → tiny XLA W finalisation → apply).  Unlike the
+    retired v3 two-phase wrap (which paid redundant phase-0 output writes and
+    measured slower), this keeps v4's single-visit output writes and only adds
+    cheap VPU LN work that hides under the matmuls."""
+    B, n, C = x.shape
+    chunk = 1024 if n % 2048 else 2048
+    assert n % chunk == 0, (n, chunk)
+    nchunks = n // chunk
+    gpre2 = g_pre.reshape(1, -1)
+
+    ctx, s = pl.pallas_call(
+        functools.partial(_kernel_stats_v5, nchunks=nchunks),
+        grid=(B, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 2 * HID), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, HID, HID), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HID), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, HID, HID), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, HID), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((1, HID), jnp.float32),
+            pltpu.VMEM((1, HID), jnp.float32),
+            pltpu.VMEM((HID, HID), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, gpre2, w_qkv[:, HID:])
+
+    d_ids = jnp.arange(HID) // DIM_HEAD
+    mask = (d_ids[:, None] == d_ids[None, :]).astype(jnp.float32)
+    rowscale = (DIM_HEAD ** -0.5) / (s.reshape(B, HID, 1) * n)
+    w = (ctx * mask * rowscale).astype(jnp.bfloat16)
+
+    return pl.pallas_call(
+        _kernel_apply_v5,
+        grid=(B, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, HID), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HID, HID), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, C), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), x.dtype),
+        interpret=interpret,
+    )(x, gpre2, w_qkv[:, :HID], w, w_out, b_out.reshape(1, -1),
+      g_out.reshape(1, -1))
+
+
+@jax.custom_vjp
+def attn_wrap_fused_v5(x, g_pre, w_qkv, w_out, b_out, g_out):
+    """Differentiable Residual(PreNorm(LinearAttention)): v5 split-kernel
+    Pallas forward, XLA-reference backward (same pattern as
+    linear_attention_fused)."""
+    return attn_wrap_v5(x, g_pre, w_qkv, w_out, b_out, g_out)
+
+
+def _wrap_v5_fwd(x, g_pre, w_qkv, w_out, b_out, g_out):
+    out = attn_wrap_v5(x, g_pre, w_qkv, w_out, b_out, g_out)
+    return out, (x, g_pre, w_qkv, w_out, b_out, g_out)
+
+
+def _wrap_v5_bwd(res, g):
+    _, vjp = jax.vjp(jax.checkpoint(_attn_wrap_composition_reference), *res)
+    return vjp(g)
+
+
+attn_wrap_fused_v5.defvjp(_wrap_v5_fwd, _wrap_v5_bwd)
+
+
 def linear_attention_reference(qkv: jnp.ndarray, heads: int = HEADS,
                                dim_head: int = DIM_HEAD,
                                dtype=None) -> jnp.ndarray:

@@ -133,3 +133,58 @@ def test_linear_attention_v4_interpret_matches_v2():
                                       interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_attn_wrap_v5_interpret_matches_reference():
+    """v5 whole-wrap (Residual(PreNorm(LinearAttention)), split kernels,
+    MXU-dot LN reductions) vs the XLA composition reference."""
+    from daclip_tpu.ops.linear_attention import (
+        _attn_wrap_composition_reference, attn_wrap_v5)
+
+    key = jax.random.PRNGKey(11)
+    B, n, C = 2, 2048, 64
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (B, n, C)).astype(jnp.bfloat16)
+    g_pre = jax.random.normal(ks[1], (C,)).astype(jnp.bfloat16)
+    wqkv = (jax.random.normal(ks[2], (C, 384)) * 0.1).astype(jnp.bfloat16)
+    wout = (jax.random.normal(ks[3], (128, C)) * 0.1).astype(jnp.bfloat16)
+    bout = jax.random.normal(ks[4], (C,)).astype(jnp.bfloat16)
+    gout = jax.random.normal(ks[5], (C,)).astype(jnp.bfloat16)
+    got = attn_wrap_v5(x, g_pre, wqkv, wout, bout, gout, interpret=True)
+    ref = _attn_wrap_composition_reference(x, g_pre, wqkv, wout, bout, gout)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=0.1)
+
+
+def test_attn_wrap_v5_grad_matches_reference():
+    from daclip_tpu.ops import linear_attention as la
+
+    key = jax.random.PRNGKey(12)
+    B, n, C = 1, 1024, 64
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (B, n, C)).astype(jnp.bfloat16)
+    g_pre = jax.random.normal(ks[1], (C,)).astype(jnp.bfloat16)
+    wqkv = (jax.random.normal(ks[2], (C, 384)) * 0.1).astype(jnp.bfloat16)
+    wout = (jax.random.normal(ks[3], (128, C)) * 0.1).astype(jnp.bfloat16)
+    bout = jax.random.normal(ks[4], (C,)).astype(jnp.bfloat16)
+    gout = jax.random.normal(ks[5], (C,)).astype(jnp.bfloat16)
+
+    def loss_fused(*a):
+        return jnp.sum(la.attn_wrap_fused_v5(*a).astype(jnp.float32) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            la._attn_wrap_composition_reference(*a).astype(jnp.float32) ** 2)
+
+    # route the custom_vjp forward through interpret mode on CPU
+    orig = la.attn_wrap_v5
+    la.attn_wrap_v5 = lambda *a: orig(*a, interpret=True)
+    try:
+        g1 = jax.grad(loss_fused, argnums=(0, 2))(x, g_pre, wqkv, wout, bout, gout)
+    finally:
+        la.attn_wrap_v5 = orig
+    g2 = jax.grad(loss_ref, argnums=(0, 2))(x, g_pre, wqkv, wout, bout, gout)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.5, rtol=0.3)
