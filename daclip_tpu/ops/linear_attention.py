@@ -372,29 +372,52 @@ def linear_attention_fused_v4(xn: jnp.ndarray, w_qkv: jnp.ndarray,
     )(xn, w_qkv[:, :HID], w, w_out, b_out.reshape(1, -1), g_out.reshape(1, -1))
 
 
-def _ln_mxu(x_raw, g):
-    """ChannelLayerNorm of a (chunk, C) block with the cross-lane mean/var
-    reductions done as tiny MXU dots against a ones matrix — the VPU lane
-    reduction on a C=64 f32 block measured ~1.7 ms per 268 MB stream, most of
-    the v5 kernels' overhead.  var uses the exact E[(x-μ)²] form."""
-    C = x_raw.shape[1]
+def _group_ones(PC: int, C: int):
+    """(PC, PC) group-blockdiag ones: M[k,j] = [k//C == j//C]."""
+    gk = jax.lax.broadcasted_iota(jnp.int32, (PC, PC), 0) // C
+    gj = jax.lax.broadcasted_iota(jnp.int32, (PC, PC), 1) // C
+    return (gk == gj).astype(jnp.float32)
+
+
+def _ln_mxu(x_raw, g, C):
+    """Per-C-group ChannelLayerNorm of a (rows, P·C) block with the cross-lane
+    mean/var reductions done as MXU dots against a group-blockdiag ones matrix
+    — VPU lane reductions on C=64 f32 blocks measured ~1.7 ms per 268 MB
+    stream, most of the first v5 attempt's overhead.  The dot against M both
+    reduces within each group and broadcasts the result back to its lanes."""
+    PC = x_raw.shape[1]
     xf = x_raw.astype(jnp.float32)
-    ones = jnp.ones((C, 128), jnp.float32)
-    mu = jax.lax.dot_general(xf, ones, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)[:, :1] / C
+    M = _group_ones(PC, C)
+    mu = jax.lax.dot_general(xf, M, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / C
     xc = xf - mu
-    var = jax.lax.dot_general(xc * xc, ones, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)[:, :1] / C
+    var = jax.lax.dot_general(xc * xc, M, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) / C
     return (xc * jax.lax.rsqrt(var + 1e-5)
             * g.astype(jnp.float32)), xf
 
 
+def _blockdiag(w, P):
+    """(R, S) → (P·R, P·S) block-diagonal tiling: diag(w, …, w)."""
+    if P == 1:
+        return w
+    R, S = w.shape
+    tiled = jnp.tile(w, (P, P))
+    gk = jax.lax.broadcasted_iota(jnp.int32, (P * R, P * S), 0) // R
+    gj = jax.lax.broadcasted_iota(jnp.int32, (P * R, P * S), 1) // S
+    return jnp.where(gk == gj, tiled, jnp.zeros_like(tiled))
+
+
 def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_ref, s_ref,
-                     ctx_ref, *, nchunks):
-    """v5 stats kernel: v4's pass A taking RAW x — the PreNorm ChannelLayerNorm
-    is computed inline (MXU-dot reductions, see _ln_mxu) instead of as separate
-    XLA reduce/normalize passes over the 268 MB L0 stream (1.0+0.7+1.6 ms per
-    call, profiled)."""
+                     ctx_ref, *, nchunks, C, P):
+    """v5/v6 stats kernel: v4's pass A taking RAW x with the PreNorm
+    ChannelLayerNorm computed inline (MXU-dot reductions, see _ln_mxu).
+
+    When C < 128 the caller packs P = 128//C pixels per row ((B, n/P, P·C)
+    view — a free reshape) so DMA tiles, VPU lanes, and the kv matmul's MXU
+    contraction dim are all full; weights arrive block-diagonal (_blockdiag)
+    and the P per-pixel column groups are reduced into the shared statistics
+    with static lane slices."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -403,20 +426,30 @@ def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_ref, s_ref,
         s_ref[:] = jnp.zeros_like(s_ref)
         ctx_ref[:] = jnp.zeros_like(ctx_ref)
 
-    xn, _ = _ln_mxu(x_ref[0], gpre_ref[:])
+    xn, _ = _ln_mxu(x_ref[0], gpre_ref[:], C)
     xn = xn.astype(jnp.bfloat16)
     kv = jax.lax.dot_general(xn, wkv_ref[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    k = kv[:, :HID]
-    v = kv[:, HID:].astype(jnp.bfloat16)
+    # kv columns: P groups of [k (HID) | v (HID)]
+    ks = [kv[:, j * 2 * HID:j * 2 * HID + HID] for j in range(P)]
+    vs = [kv[:, j * 2 * HID + HID:(j + 1) * 2 * HID].astype(jnp.bfloat16)
+          for j in range(P)]
     m_old = m_ref[:]
-    m_new = jnp.maximum(m_old, jnp.max(k, axis=0, keepdims=True))
+    m_blk = ks[0]
+    for j in range(1, P):
+        m_blk = jnp.maximum(m_blk, ks[j])
+    m_new = jnp.maximum(m_old, jnp.max(m_blk, axis=0, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(k - m_new).astype(jnp.bfloat16)
-    s_ref[:] = s_ref[:] * alpha + jnp.sum(p.astype(jnp.float32), axis=0,
-                                          keepdims=True)
-    ctx_ref[:] = ctx_ref[:] * alpha.reshape(HID, 1) + jax.lax.dot_general(
-        p, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    s_add = jnp.zeros_like(s_ref[:])
+    ctx_add = jnp.zeros_like(ctx_ref[:])
+    for j in range(P):
+        p = jnp.exp(ks[j] - m_new).astype(jnp.bfloat16)
+        s_add = s_add + jnp.sum(p.astype(jnp.float32), axis=0, keepdims=True)
+        ctx_add = ctx_add + jax.lax.dot_general(
+            p, vs[j], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    s_ref[:] = s_ref[:] * alpha + s_add
+    ctx_ref[:] = ctx_ref[:] * alpha.reshape(HID, 1) + ctx_add
     m_ref[:] = m_new
 
     @pl.when(c == nchunks - 1)
@@ -426,29 +459,37 @@ def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_ref, s_ref,
 
 
 def _kernel_apply_v5(x_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
-                     gout_ref, out_ref):
-    """v5 apply kernel: v4's pass B taking RAW x — prenorm LN recomputed
-    inline (MXU-dot reductions), and the Residual add folded into the output
-    write (kills the separate 2.3 ms copy+add fusion per L0 call)."""
-    xn, xf = _ln_mxu(x_ref[0], gpre_ref[:])
+                     gout_ref, out_ref, *, C, P):
+    """v5/v6 apply kernel: v4's pass B taking RAW x — prenorm LN recomputed
+    inline (MXU-dot reductions), Residual add folded into the output write,
+    and P pixels packed per row when C < 128 (see _kernel_stats_v5)."""
+    xn, xf = _ln_mxu(x_ref[0], gpre_ref[:], C)
     xn = xn.astype(jnp.bfloat16)
     q = jax.lax.dot_general(xn, wq_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    d_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 0) // DIM_HEAD
-    e_ids = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 1) // DIM_HEAD
+    PH = P * HID
+    # per-pixel-group, per-head softmax over the packed q columns
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (PH, PH), 0) // DIM_HEAD
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (PH, PH), 1) // DIM_HEAD
     ones_bd = (d_ids == e_ids).astype(jnp.float32)
     q = q - jnp.max(q)
     q_exp = jnp.exp(q)
     denom = jax.lax.dot_general(q_exp, ones_bd, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     q_soft = (q_exp / denom).astype(jnp.bfloat16)
-    attn = jax.lax.dot_general(q_soft, w_ref[0], (((1,), (0,)), ((), ())),
+    w2 = w_ref[0]
+    if P > 1:
+        tw = jnp.tile(w2, (P, P))
+        gk = jax.lax.broadcasted_iota(jnp.int32, (PH, PH), 0) // HID
+        gj = jax.lax.broadcasted_iota(jnp.int32, (PH, PH), 1) // HID
+        w2 = jnp.where(gk == gj, tw, jnp.zeros_like(tw))
+    attn = jax.lax.dot_general(q_soft, w2, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     y = jax.lax.dot_general(attn.astype(jnp.bfloat16), wout_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + bout_ref[:].astype(jnp.float32)
-    y, _ = _ln_mxu(y, gout_ref[:])
+    y, _ = _ln_mxu(y, gout_ref[:], C)
     out_ref[0] = (y + xf).astype(out_ref.dtype)
 
 
@@ -459,23 +500,38 @@ def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
     """Whole Residual(PreNorm(LinearAttention)) on RAW x via the v4 SPLIT
     kernel structure (stats → tiny XLA W finalisation → apply).  Unlike the
     retired v3 two-phase wrap (which paid redundant phase-0 output writes and
-    measured slower), this keeps v4's single-visit output writes and only adds
-    cheap VPU LN work that hides under the matmuls."""
+    measured slower), this keeps v4's single-visit output writes.
+
+    DACLIP_TPU_ATTN_PACK=1 packs pixel PAIRS per row at C=64 (P=2,
+    block-diagonal weights) so DMA tiles / VPU lanes / MXU contraction rows
+    are full instead of half-empty — measured a WASH at full-forward level
+    (106.2 vs 106.0 ms B32/256²: the kernels are MXU-bound after the _ln_mxu
+    fix, and packing trades lane occupancy for 2× matmul width at identical
+    MXU time).  Default off."""
+    import os
+
     B, n, C = x.shape
-    chunk = 1024 if n % 2048 else 2048
-    assert n % chunk == 0, (n, chunk)
-    nchunks = n // chunk
-    gpre2 = g_pre.reshape(1, -1)
+    P = 2 if (C == 64 and n % 2048 == 0
+              and os.environ.get("DACLIP_TPU_ATTN_PACK", "0") == "1") else 1
+    nP, PC = n // P, P * C
+    xp = x.reshape(B, nP, PC)
+    chunk = 1024 if nP % 2048 else 2048
+    assert nP % chunk == 0, (n, P, chunk)
+    nchunks = nP // chunk
+    gpre2 = jnp.tile(g_pre, P).reshape(1, -1)
+    wkv2 = _blockdiag(w_qkv[:, HID:], P)      # (PC, P·2HID)
+    wq2 = _blockdiag(w_qkv[:, :HID], P)       # (PC, P·HID)
+    wout2 = _blockdiag(w_out, P)              # (P·HID, PC)
 
     ctx, s = pl.pallas_call(
-        functools.partial(_kernel_stats_v5, nchunks=nchunks),
+        functools.partial(_kernel_stats_v5, nchunks=nchunks, C=C, P=P),
         grid=(B, nchunks),
         in_specs=[
-            pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, chunk, PC), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+            pl.BlockSpec((1, PC), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 2 * HID), lambda b, c: (0, 0),
+            pl.BlockSpec((PC, P * 2 * HID), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -492,38 +548,39 @@ def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
             pltpu.VMEM((HID, HID), jnp.float32),
         ],
         interpret=interpret,
-    )(x, gpre2, w_qkv[:, HID:])
+    )(xp, gpre2, wkv2)
 
     d_ids = jnp.arange(HID) // DIM_HEAD
     mask = (d_ids[:, None] == d_ids[None, :]).astype(jnp.float32)
     rowscale = (DIM_HEAD ** -0.5) / (s.reshape(B, HID, 1) * n)
     w = (ctx * mask * rowscale).astype(jnp.bfloat16)
 
-    return pl.pallas_call(
-        _kernel_apply_v5,
+    out = pl.pallas_call(
+        functools.partial(_kernel_apply_v5, C=C, P=P),
         grid=(B, nchunks),
         in_specs=[
-            pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, chunk, PC), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+            pl.BlockSpec((1, PC), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, HID), lambda b, c: (0, 0),
+            pl.BlockSpec((PC, P * HID), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HID, HID), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HID, C), lambda b, c: (0, 0),
+            pl.BlockSpec((P * HID, PC), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+            pl.BlockSpec((1, PC), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b, c: (0, 0),
+            pl.BlockSpec((1, PC), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+        out_specs=pl.BlockSpec((1, chunk, PC), lambda b, c: (b, c, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nP, PC), x.dtype),
         interpret=interpret,
-    )(x, gpre2, w_qkv[:, :HID], w, w_out, b_out.reshape(1, -1),
-      g_out.reshape(1, -1))
+    )(xp, gpre2, wq2, w, wout2, jnp.tile(b_out, P).reshape(1, -1),
+      jnp.tile(g_out, P).reshape(1, -1))
+    return out.reshape(B, n, C)
 
 
 @jax.custom_vjp

@@ -135,12 +135,15 @@ def test_linear_attention_v4_interpret_matches_v2():
                                atol=2e-5, rtol=1e-4)
 
 
-def test_attn_wrap_v5_interpret_matches_reference():
+@pytest.mark.parametrize("pack", ["0", "1"])
+def test_attn_wrap_v5_interpret_matches_reference(monkeypatch, pack):
     """v5 whole-wrap (Residual(PreNorm(LinearAttention)), split kernels,
-    MXU-dot LN reductions) vs the XLA composition reference."""
+    MXU-dot LN reductions) vs the XLA composition reference — both the plain
+    and the pixel-pair-packed (DACLIP_TPU_ATTN_PACK) kernel layouts."""
     from daclip_tpu.ops.linear_attention import (
         _attn_wrap_composition_reference, attn_wrap_v5)
 
+    monkeypatch.setenv("DACLIP_TPU_ATTN_PACK", pack)
     key = jax.random.PRNGKey(11)
     B, n, C = 2, 2048, 64
     ks = jax.random.split(key, 6)
