@@ -73,19 +73,18 @@ class MDDataset:
 
         GT_path = self.distortion[deg_type][0][index]
         LQ_path = self.distortion[deg_type][1][index]
-        img_GT = util.read_img(None, GT_path)
-        img_LQ = util.read_img(None, LQ_path)
-
         if self.phase == "train":
-            H, W, _ = img_GT.shape
-            rnd_h = self.rng.randint(0, max(0, H - self.size))
-            rnd_w = self.rng.randint(0, max(0, W - self.size))
-            img_GT = img_GT[rnd_h: rnd_h + self.size, rnd_w: rnd_w + self.size, :]
-            img_LQ = img_LQ[rnd_h: rnd_h + self.size, rnd_w: rnd_w + self.size, :]
+            # shared random crop at decode time (native IO decodes only the
+            # cropped window's JPEG rows/columns; util.read_imgs_cropped)
+            (img_GT, img_LQ), _ = util.read_imgs_cropped(
+                [GT_path, LQ_path], self.size, self.rng)
             img_LQ, img_GT = util.augment([img_LQ, img_GT],
                                           self.opt.get("use_flip", True),
                                           self.opt.get("use_rot", True),
                                           rng=self.rng)
+        else:
+            img_GT = util.read_img(None, GT_path)
+            img_LQ = util.read_img(None, LQ_path)
         if self.opt.get("color"):
             img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
             img_LQ = util.channel_convert(img_LQ.shape[2], self.opt["color"], [img_LQ])[0]
@@ -113,15 +112,16 @@ class MDGTDataset:
         from daclip_tpu.data import degradations as deg_util
 
         GT_path = self.GT_paths[index]
-        img_GT = util.read_img(None, GT_path)
+        if self.phase == "train":
+            # random crop at decode time (util.read_imgs_cropped); the color
+            # convert commutes with cropping so it moves after the read
+            (img_GT,), _ = util.read_imgs_cropped([GT_path], self.GT_size,
+                                                  self.rng)
+        else:
+            img_GT = util.read_img(None, GT_path)
         if self.opt.get("color"):
             img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
         if self.phase == "train":
-            H, W, _ = img_GT.shape
-            rnd_h = self.rng.randint(0, max(0, H - self.GT_size))
-            rnd_w = self.rng.randint(0, max(0, W - self.GT_size))
-            img_GT = img_GT[rnd_h: rnd_h + self.GT_size,
-                            rnd_w: rnd_w + self.GT_size, :]
             img_GT = util.augment([img_GT], self.opt.get("use_flip", True),
                                   self.opt.get("use_rot", True), rng=self.rng)[0]
             if self.rng.random() < 0.1:  # MDGT_dataset.py:62-64

@@ -76,11 +76,32 @@ def _read_img_lmdb(env, key: str, size) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8).reshape(H, W, C)
 
 
+def _native_io():
+    import os
+
+    if os.environ.get("DACLIP_TPU_NATIVE_IO", "1") == "0":
+        return None
+    from daclip_tpu.data import native_io
+
+    return native_io if native_io.available() else None
+
+
 def read_img(env, path: str, size=None) -> np.ndarray:
     """cv2 (or lmdb when env is given) read → float32 HWC BGR in [0,1];
-    grayscale gets a channel axis (util.py:68-85)."""
+    grayscale gets a channel axis (util.py:68-85).  JPEG/PNG folder reads go
+    through the native C++ decoder (data/native_io.py — bit-identical to cv2,
+    GIL-free) when it is available."""
     if env is None:
-        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        img = None
+        nio = _native_io()
+        if nio is not None and path.lower().endswith(
+                (".jpg", ".jpeg", ".png")):
+            try:
+                img = nio.decode_file(path)
+            except (ValueError, OSError):
+                img = None
+        if img is None:
+            img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
             raise FileNotFoundError(path)
     else:
@@ -91,6 +112,35 @@ def read_img(env, path: str, size=None) -> np.ndarray:
     if img.shape[2] > 3:
         img = img[:, :, :3]
     return img
+
+
+def read_imgs_cropped(paths, size: int, rng) -> list:
+    """Read same-sized images and crop ALL to one random (size, size) window
+    (the MD/LQGT training pattern: decode → shared random crop).  With the
+    native decoder the JPEG IDCT runs only over the cropped window's rows and
+    iMCU columns (~4× less decode work for 512²→256² crops); output is
+    bit-identical to full-decode-then-crop.  Returns (imgs, (rnd_h, rnd_w))."""
+    nio = _native_io()
+    if (nio is None
+            or not all(p.lower().endswith((".jpg", ".jpeg", ".png"))
+                       for p in paths)):
+        imgs = [read_img(None, p) for p in paths]
+        H, W = imgs[0].shape[:2]
+        rnd_h = rng.randint(0, max(0, H - size))
+        rnd_w = rng.randint(0, max(0, W - size))
+        return ([im[rnd_h:rnd_h + size, rnd_w:rnd_w + size, :] for im in imgs],
+                (rnd_h, rnd_w))
+    datas = []
+    for p in paths:
+        with open(p, "rb") as f:
+            datas.append(f.read())
+    W, H, _ = nio.probe(datas[0])
+    rnd_h = rng.randint(0, max(0, H - size))
+    rnd_w = rng.randint(0, max(0, W - size))
+    crop = (rnd_w, rnd_h, min(size, W - rnd_w), min(size, H - rnd_h))
+    imgs = [nio.decode(d, crop=crop).astype(np.float32) / 255.0
+            for d in datas]
+    return imgs, (rnd_h, rnd_w)
 
 
 def save_img(img: np.ndarray, img_path: str):
