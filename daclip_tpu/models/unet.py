@@ -692,12 +692,14 @@ class Upsample2x(nn.Module):
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kp, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + jnp.tile(bias, 4).astype(self.dtype)
         # pixel shuffle via transpose (measured 109.1 vs 110.7 ms full-forward
-        # against a channel-slice + row-stack formulation)
+        # against a channel-slice + row-stack formulation); bias added AFTER
+        # the shuffle (per-channel) so no elementwise pass sits between the
+        # conv output and the transpose copy
         y = y.reshape(B, H, W, 2, 2, self.dim_out)
-        return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
             B, 2 * H, 2 * W, self.dim_out)
+        return y + bias.astype(self.dtype)
 
 
 class Downsample2x(nn.Module):
