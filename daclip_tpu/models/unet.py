@@ -17,6 +17,7 @@ utils/torch_convert.py.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Sequence, Tuple
 
@@ -605,6 +606,55 @@ class ConditionalUNet(nn.Module):
         return x[:, :Hh, :Ww, :].astype(jnp.float32)
 
 
+def _final_conv_plain(x, kernel, bias, dtype):
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
+def _final_conv_tap(x, kernel, bias, dtype):
+    B, H, W, C = x.shape
+    out_nc = kernel.shape[-1]
+    w27 = kernel.transpose(2, 0, 1, 3).reshape(C, 9 * out_nc).astype(dtype)
+    yt = jnp.dot(x.reshape(-1, C), w27).reshape(B, H, W, 9 * out_nc)
+    yp = jnp.pad(yt, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((B, H, W, out_nc), jnp.float32)
+    for dr in range(3):
+        for dw in range(3):
+            t = 3 * dr + dw
+            acc = acc + yp[:, dr:dr + H, dw:dw + W,
+                           t * out_nc:(t + 1) * out_nc].astype(jnp.float32)
+    return (acc + bias).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _final_conv(x, kernel, bias, dtype):
+    """Tap-dot forward, plain-conv backward.
+
+    The two forms are the same math (per-tap partials round to bf16 in the tap
+    form — documented in TapDotConv3x3); the tap form's AUTODIFF backward is
+    terrible (the 9-slice shift-add VJP materializes nine padded (B,H,W,9·nc)
+    cotangent assemblies — measured +30 ms/step, the entire 58→52 samples/s
+    round-2 training regression), while the plain conv's backward is XLA's
+    standard conv-grad pair.  custom_vjp gives the fast forward AND the fast
+    exact backward."""
+    return _final_conv_tap(x, kernel, bias, dtype)
+
+
+def _final_conv_fwd(x, kernel, bias, dtype):
+    return _final_conv_tap(x, kernel, bias, dtype), (x, kernel, bias)
+
+
+def _final_conv_bwd(dtype, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(lambda *a: _final_conv_plain(*a, dtype), x, kernel, bias)
+    return vjp(g)
+
+
+_final_conv.defvjp(_final_conv_fwd, _final_conv_bwd)
+
+
 class TapDotConv3x3(nn.Module):
     """3×3 conv with very few output channels (the UNet's final out_nc=3 head),
     evaluated as one tap-stacked matmul x·W(C, 9·out_nc) followed by a 9-slice
@@ -630,22 +680,8 @@ class TapDotConv3x3(nn.Module):
         tap = (self.dtype == jnp.bfloat16
                and os.environ.get("DACLIP_TPU_TAP_FINAL", "1") == "1")
         if not tap:
-            y = jax.lax.conv_general_dilated(
-                x, kernel.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return y + bias.astype(self.dtype)
-        w27 = kernel.transpose(2, 0, 1, 3).reshape(
-            C, 9 * self.out_nc).astype(self.dtype)
-        yt = jnp.dot(x.reshape(-1, C), w27).reshape(B, H, W, 9 * self.out_nc)
-        yp = jnp.pad(yt, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        acc = jnp.zeros((B, H, W, self.out_nc), jnp.float32)
-        for dr in range(3):
-            for dw in range(3):
-                t = 3 * dr + dw
-                acc = acc + yp[:, dr:dr + H, dw:dw + W,
-                               t * self.out_nc:(t + 1) * self.out_nc
-                               ].astype(jnp.float32)
-        return (acc + bias).astype(self.dtype)
+            return _final_conv_plain(x, kernel, bias, self.dtype)
+        return _final_conv(x, kernel, bias, self.dtype)
 
 
 class Upsample2x(nn.Module):
