@@ -19,9 +19,12 @@ B32/H16/N1024/D32):
     the head's lane slice of the output block — the attention matrix never
     touches HBM.
 
-Training uses the standard fused-kernel pattern (see ops/linear_attention.py):
-Pallas forward via jax.custom_vjp, XLA-reference recompute for the backward
-(jax.checkpoint'd so the recompute transient stays off the peak).
+Training: jax.custom_vjp with a Pallas FlashAttention-2 backward kernel
+(`_bwd_kernel` — softmax rows recomputed per q-block, dK/dV accumulated in
+resident f32 VMEM blocks, the (B,H,N,N) matrix never in HBM; measured 6.05 vs
+11.99 ms for the full vjp at B16/H16/N1024/D32, −19 ms/train-step overall).
+Falls back to the jax.checkpoint'd XLA-reference recompute on CPU /
+unsupported shapes / DACLIP_TPU_FLASH_BWD=0.
 """
 from __future__ import annotations
 
@@ -98,18 +101,129 @@ def _reference(q, k, v, heads, dim_head):
     return out.reshape(B, N, HD)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dsum_ref,
+                dq_ref, dk_ref, dv_ref, *, heads, dim_head, scale):
+    """One (batch, q-block) step of the FlashAttention-2 backward, heads
+    statically unrolled (like the forward kernel — lane slices must be
+    static for Mosaic).
+
+    Grid (B, N/QC): the dk/dv blocks (indexed by b only) stay resident in
+    VMEM across the q-block loop and accumulate in f32; dq is written once
+    per (b, qb)."""
+    qb = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dsum = dsum_ref[0]                                     # (QC, heads) f32
+    for h in range(heads):                                 # static unroll
+        s = h * dim_head
+        qh = jax.lax.slice(q, (0, s), (q.shape[0], s + dim_head))
+        kh = jax.lax.slice(k, (0, s), (k.shape[0], s + dim_head))
+        vh = jax.lax.slice(v, (0, s), (v.shape[0], s + dim_head))
+        doh = jax.lax.slice(do, (0, s), (do.shape[0], s + dim_head))
+        # recompute the softmax rows exactly like the forward kernel
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        ssum = jnp.sum(p, axis=-1, keepdims=True)
+        prob = p / ssum                                    # (QC, N) f32
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dcol = jax.lax.slice(dsum, (0, h), (dsum.shape[0], h + 1))
+        ds = (prob * (dp - dcol) * scale).astype(q.dtype)  # (QC, N) bf16
+        prob_b = prob.astype(q.dtype)
+        dqh = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dq_ref[0, :, s: s + dim_head] = dqh.astype(dq_ref.dtype)
+        dkh = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvh = jax.lax.dot_general(prob_b, doh, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        @pl.when(qb == 0)
+        def _init():
+            dk_ref[0, :, s: s + dim_head] = dkh
+            dv_ref[0, :, s: s + dim_head] = dvh
+
+        @pl.when(qb != 0)
+        def _acc():
+            dk_ref[0, :, s: s + dim_head] += dkh
+            dv_ref[0, :, s: s + dim_head] += dvh
+
+
+def _pick_qc_bwd(N: int, HD: int) -> int:
+    # transients: logits/p f32 (QC,N)·2 + dp f32 (QC,N) + ds/prob_b bf16;
+    # residents: k/v (N,HD)bf16 + dk/dv (N,HD)f32 + q/do/dq (QC,HD)
+    for qc in (256, 128, 64, 32, 16, 8):
+        if N % qc:
+            continue
+        vmem = (2 * N * HD * 2 + 2 * N * HD * 4 + 3 * qc * HD * 2
+                + 3 * qc * N * 4 + 2 * qc * N * 2)
+        if vmem <= 13 * 1024 * 1024:
+            return qc
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "dim_head", "interpret"))
+def flash_self_attention_bwd_pallas(q, k, v, do, dsum, heads, dim_head,
+                                    interpret=False):
+    """dq/dk/dv for per-head softmax(q·kᵀ·scale)·v given dO and
+    dsum = rowsum(dO ∘ O) per head (B, N, heads) f32."""
+    B, N, HD = q.shape
+    qc = _pick_qc_bwd(N, HD)
+    qspec = pl.BlockSpec((1, qc, HD), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, N, HD), lambda b, c: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, qc, dsum.shape[-1]), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, dim_head=dim_head,
+                          scale=dim_head ** -0.5),
+        grid=(B, N // qc),
+        in_specs=[qspec, kvspec, kvspec, qspec, dspec],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[jax.ShapeDtypeStruct((B, N, HD), q.dtype),
+                   jax.ShapeDtypeStruct((B, N, HD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, HD), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, dsum)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_self_attention(q, k, v, heads, dim_head):
     return flash_self_attention_pallas(q, k, v, heads, dim_head)
 
 
 def _fwd(q, k, v, heads, dim_head):
-    return flash_self_attention_pallas(q, k, v, heads, dim_head), (q, k, v)
+    out = flash_self_attention_pallas(q, k, v, heads, dim_head)
+    return out, (q, k, v, out)
 
 
 def _bwd(heads, dim_head, res, g):
+    import os
+
+    q, k, v, out = res
+    B, N, HD = q.shape
+    if (_pick_qc_bwd(N, HD)
+            and os.environ.get("DACLIP_TPU_FLASH_BWD", "1") == "1"
+            and jax.default_backend() != "cpu"):
+        # Pallas backward: the (B,H,N,N) softmax matrix never hits HBM.  The
+        # previous XLA-reference recompute materialized it (bf16[16,16,1024,
+        # 1024] loop fusions + softmax-backward chains, ~14 ms/train-step at
+        # the two deep SpatialTransformer sites — tools/profile_train).
+        dsum = jnp.einsum(
+            "bnhd,bnhd->bnh",
+            g.reshape(B, N, heads, dim_head).astype(jnp.float32),
+            out.reshape(B, N, heads, dim_head).astype(jnp.float32))
+        return flash_self_attention_bwd_pallas(q, k, v, g, dsum, heads,
+                                               dim_head)
     f = functools.partial(_reference, heads=heads, dim_head=dim_head)
-    _, vjp = jax.vjp(jax.checkpoint(f), *res)
+    _, vjp = jax.vjp(jax.checkpoint(f), q, k, v)
     return vjp(g)
 
 

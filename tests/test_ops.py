@@ -106,6 +106,31 @@ def test_flash_attention_grad_matches_reference():
         fa.flash_self_attention_pallas = saved
 
 
+def test_flash_attention_bwd_kernel_matches_reference_vjp():
+    """The pallas backward kernel (interpret mode) == reference autodiff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.ops import flash_attention as fa
+
+    B, heads, N, D = 2, 4, 64, 32
+    HD = heads * D
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q, k, v, g = (jax.random.normal(kk, (B, N, HD), jnp.float32) for kk in ks)
+    ref = lambda q, k, v: fa._reference(q, k, v, heads, D)
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    out = ref(q, k, v)
+    dsum = jnp.einsum("bnhd,bnhd->bnh", g.reshape(B, N, heads, D),
+                      out.reshape(B, N, heads, D))
+    dq_p, dk_p, dv_p = fa.flash_self_attention_bwd_pallas(
+        q, k, v, g, dsum, heads, D, interpret=True)
+    for a, b in [(dq_p, dq_r), (dk_p, dk_r), (dv_p, dv_r)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_flash_attention_supported_gate():
     from daclip_tpu.ops.flash_attention import flash_attention_supported
 
