@@ -408,8 +408,8 @@ def _blockdiag(w, P):
     return jnp.where(gk == gj, tiled, jnp.zeros_like(tiled))
 
 
-def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_ref, s_ref,
-                     ctx_ref, *, nchunks, C, P):
+def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_out, m_ref,
+                     s_ref, ctx_ref, *, nchunks, C, P):
     """v5/v6 stats kernel: v4's pass A taking RAW x with the PreNorm
     ChannelLayerNorm computed inline (MXU-dot reductions, see _ln_mxu).
 
@@ -456,6 +456,7 @@ def _kernel_stats_v5(x_ref, gpre_ref, wkv_ref, ctx_out, s_out, m_ref, s_ref,
     def _emit():
         ctx_out[0] = ctx_ref[:]
         s_out[0] = s_ref[:]
+        m_out[0] = m_ref[:]
 
 
 def _kernel_apply_v5(x_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
@@ -493,10 +494,10 @@ def _kernel_apply_v5(x_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
     out_ref[0] = (y + xf).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "with_stats"))
 def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
                  w_out: jnp.ndarray, b_out: jnp.ndarray, g_out: jnp.ndarray,
-                 interpret: bool = False):
+                 interpret: bool = False, with_stats: bool = False):
     """Whole Residual(PreNorm(LinearAttention)) on RAW x via the v4 SPLIT
     kernel structure (stats → tiny XLA W finalisation → apply).  Unlike the
     retired v3 two-phase wrap (which paid redundant phase-0 output writes and
@@ -523,7 +524,7 @@ def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
     wq2 = _blockdiag(w_qkv[:, :HID], P)       # (PC, P·HID)
     wout2 = _blockdiag(w_out, P)              # (P·HID, PC)
 
-    ctx, s = pl.pallas_call(
+    ctx, s, m = pl.pallas_call(
         functools.partial(_kernel_stats_v5, nchunks=nchunks, C=C, P=P),
         grid=(B, nchunks),
         in_specs=[
@@ -539,8 +540,11 @@ def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, HID), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HID), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, HID, HID), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, HID), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1, HID), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((1, HID), jnp.float32),
@@ -580,7 +584,10 @@ def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
         interpret=interpret,
     )(xp, gpre2, wq2, w, wout2, jnp.tile(b_out, P).reshape(1, -1),
       jnp.tile(g_out, P).reshape(1, -1))
-    return out.reshape(B, n, C)
+    out = out.reshape(B, n, C)
+    if with_stats:
+        return out, ctx, s, m
+    return out
 
 
 @jax.custom_vjp
@@ -592,12 +599,331 @@ def attn_wrap_fused_v5(x, g_pre, w_qkv, w_out, b_out, g_out):
 
 
 def _wrap_v5_fwd(x, g_pre, w_qkv, w_out, b_out, g_out):
-    out = attn_wrap_v5(x, g_pre, w_qkv, w_out, b_out, g_out)
-    return out, (x, g_pre, w_qkv, w_out, b_out, g_out)
+    out, ctx, s, m = attn_wrap_v5(x, g_pre, w_qkv, w_out, b_out, g_out,
+                                  with_stats=True)
+    return out, (x, g_pre, w_qkv, w_out, b_out, g_out, ctx, s, m)
+
+
+def _ln_and_stats(t):
+    """Channel-LN pieces: (normalized rows, rsqrt(var+eps)) in f32."""
+    tf = t.astype(jnp.float32)
+    mu = tf.mean(-1, keepdims=True)
+    tc = tf - mu
+    var = (tc * tc).mean(-1, keepdims=True)
+    r = jax.lax.rsqrt(var + 1e-5)
+    return tc * r, r
+
+
+def _ln_bwd(dout_times_g, norm, r):
+    """VJP of norm(t) given dnorm (= upstream ∘ gain), norm(t), r."""
+    mean_dn = dout_times_g.mean(-1, keepdims=True)
+    mean_dn_n = (dout_times_g * norm).mean(-1, keepdims=True)
+    return r * (dout_times_g - mean_dn - norm * mean_dn_n)
+
+
+def _wrap_v5_bwd_manual(res, g):
+    """Hand-derived VJP of the Residual(PreNorm(LinearAttention)) wrap with
+    every n-sized matmul in bf16 (f32 reserved for statistics/elementwise).
+
+    jax.vjp of the reference composition runs its big cotangent contractions
+    (de = v·dctxᵀ, dv = e·dctx, dctx outer products, dqkv·Wᵀ) in f32 because
+    the cotangents are f32 — the TPU MXU f32 path is ~8× slower than bf16
+    (the bnx,bny->bxy backward dots profiled at 7 TF/s / 4.7 ms each at
+    B16/256²).  Mathematically this is the exact gradient of the same
+    function; matmul operands round to bf16 exactly like the forward does.
+
+    The softmax max-shifts (k_max, q global max) are treated as constants:
+    both normalized forms are algebraically shift-invariant, so their
+    gradient contribution is identically zero."""
+    x, g_pre, w_qkv, w_out, b_out, g_out = res
+    dt = x.dtype
+    B, n, C = x.shape
+    scale = DIM_HEAD ** -0.5
+
+    # ---- recompute forward pieces (reference composition arithmetic) ----
+    nx, r_x = _ln_and_stats(x)
+    xn = (nx * g_pre.astype(jnp.float32)).astype(dt)
+    qkv = jnp.einsum("bnc,cd->bnd", xn, w_qkv)
+    q, k, v = (qkv[..., :HID], qkv[..., HID:2 * HID], qkv[..., 2 * HID:])
+    qh = q.reshape(B, n, HEADS, DIM_HEAD).astype(jnp.float32)
+    q_soft = jax.nn.softmax(qh, axis=-1).reshape(B, n, HID).astype(dt)
+    k_max = jnp.max(k, axis=1, keepdims=True).astype(jnp.float32)
+    e = jnp.exp(k.astype(jnp.float32) - k_max).astype(dt)
+    s = jnp.sum(e, axis=1, dtype=jnp.float32)            # (B, HID)
+    ctx = jnp.einsum("bnx,bny->bxy", e, v).astype(jnp.float32)
+    d_ids = jnp.arange(HID) // DIM_HEAD
+    mask = (d_ids[:, None] == d_ids[None, :]).astype(jnp.float32)
+    rowscale = scale / (s[..., None] * n)                # (B, HID, 1)
+    w = (ctx * mask * rowscale).astype(dt)               # (B, HID, HID)
+    attn = jnp.einsum("bnx,bxy->bny", q_soft, w)
+    y = (jnp.einsum("bnh,hc->bnc", attn, w_out)
+         + b_out).astype(jnp.float32)
+    ny, r_y = _ln_and_stats(y)
+
+    # ---- backward ----
+    gf = g.astype(jnp.float32)
+    dg_out = jnp.einsum("bnc,bnc->c", gf, ny)
+    dy = _ln_bwd(gf * g_out.astype(jnp.float32), ny, r_y)
+    db_out = jnp.sum(dy, axis=(0, 1))
+    dy_b = dy.astype(dt)
+    dattn = jnp.einsum("bnc,hc->bnh", dy_b, w_out)
+    dw_out = jnp.einsum("bnh,bnc->hc", attn.astype(dt), dy_b)
+    dattn_b = dattn.astype(dt)
+    dq_soft = jnp.einsum("bny,bxy->bnx", dattn_b, w).astype(jnp.float32)
+    dw = jnp.einsum("bnx,bny->bxy", q_soft, dattn_b).astype(jnp.float32)
+    # softmax-over-heads backward
+    qs = q_soft.astype(jnp.float32).reshape(B, n, HEADS, DIM_HEAD)
+    dqs = dq_soft.reshape(B, n, HEADS, DIM_HEAD)
+    dq = (qs * (dqs - jnp.sum(dqs * qs, axis=-1, keepdims=True))
+          ).reshape(B, n, HID)
+    # W = mask ∘ ctx ∘ rowscale;  rowscale = scale/(s·n)
+    dctx = dw * mask * rowscale                          # (B, HID, HID) f32
+    ds = -jnp.sum(dctx * ctx, axis=-1) / s               # (B, HID)
+    dctx_b = dctx.astype(dt)
+    de = (jnp.einsum("bny,bxy->bnx", v, dctx_b).astype(jnp.float32)
+          + ds[:, None, :])
+    dk = e.astype(jnp.float32) * de
+    dv = jnp.einsum("bnx,bxy->bny", e, dctx_b).astype(jnp.float32)
+    dqkv = jnp.concatenate(
+        [dq.astype(dt), dk.astype(dt), dv.astype(dt)], axis=-1)
+    dxn = jnp.einsum("bnd,cd->bnc", dqkv, w_qkv).astype(jnp.float32)
+    dw_qkv = jnp.einsum("bnc,bnd->cd", xn, dqkv)
+    dg_pre = jnp.einsum("bnc,bnc->c", dxn, nx)
+    dx = gf + _ln_bwd(dxn * g_pre.astype(jnp.float32), nx, r_x)
+    return (dx.astype(dt), dg_pre.astype(g_pre.dtype),
+            dw_qkv.astype(w_qkv.dtype), dw_out.astype(w_out.dtype),
+            db_out.astype(b_out.dtype), dg_out.astype(g_out.dtype))
+
+
+def _ln_parts(xf, C):
+    """(norm rows, r) of a (rows, C) f32 block, reductions as MXU ones-dots."""
+    M = _group_ones(C, C)
+    mu = jax.lax.dot_general(xf, M, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / C
+    xc = xf - mu
+    var = jax.lax.dot_general(xc * xc, M, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) / C
+    return xc * jax.lax.rsqrt(var + 1e-5), jax.lax.rsqrt(var + 1e-5)
+
+
+def _ln_bwd_rows(dn, norm, r, C):
+    """Row-wise LN VJP with MXU-dot reductions (dn = upstream ∘ gain)."""
+    M = _group_ones(C, C)
+    t1 = jax.lax.dot_general(dn, M, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / C
+    t2 = jax.lax.dot_general(dn * norm, M, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / C
+    return r * (dn - t1 - norm * t2)
+
+
+def _ones_bd_heads():
+    d = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 0) // DIM_HEAD
+    e = jax.lax.broadcasted_iota(jnp.int32, (HID, HID), 1) // DIM_HEAD
+    return (d == e).astype(jnp.float32)
+
+
+def _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref,
+                     bout_ref, gout_ref, C):
+    """Shared chunk-local recompute: forward pieces through y's LN plus the
+    upstream-through-postnorm cotangent dy.  Returns what both backward
+    kernels need."""
+    norm_x, r_x = _ln_parts(x_ref[0].astype(jnp.float32), C)
+    xn = (norm_x * gpre_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    q = jax.lax.dot_general(xn, wq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    ones_bd = _ones_bd_heads()
+    q = q - jnp.max(q)
+    q_exp = jnp.exp(q)
+    denom = jax.lax.dot_general(q_exp, ones_bd, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    q_soft = q_exp / denom
+    q_soft_b = q_soft.astype(jnp.bfloat16)
+    attn_b = jax.lax.dot_general(
+        q_soft_b, w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(attn_b, wout_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                            ) + bout_ref[:].astype(jnp.float32)
+    norm_y, r_y = _ln_parts(y, C)
+    gf = g_ref[0].astype(jnp.float32)
+    dn = gf * gout_ref[:].astype(jnp.float32)
+    dy = _ln_bwd_rows(dn, norm_y, r_y, C)
+    dy_b = dy.astype(jnp.bfloat16)
+    dattn = jax.lax.dot_general(dy_b, wout_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return (norm_x, r_x, xn, q_soft, q_soft_b, attn_b, norm_y, gf, dy, dy_b,
+            dattn, ones_bd)
+
+
+def _kernel_bwd1_v5(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
+                    gout_ref, dW_ref, dwout_ref, dgout_ref, dbout_ref, *, C):
+    """Backward pass 1: accumulate the per-batch dW = q_softᵀ·dattn (needed
+    globally before dk/dv exist) plus the w_out/b_out/g_out cotangent
+    partials.  Grid (B, nchunks); accumulator outputs indexed by b only stay
+    resident in VMEM across the chunk loop."""
+    c = pl.program_id(1)
+    (norm_x, r_x, xn, q_soft, q_soft_b, attn_b, norm_y, gf, dy, dy_b,
+     dattn, ones_bd) = _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref,
+                                        w_ref, wout_ref, bout_ref, gout_ref,
+                                        C)
+    dattn_b = dattn.astype(jnp.bfloat16)
+    dW_c = jax.lax.dot_general(q_soft_b, dattn_b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dwout_c = jax.lax.dot_general(attn_b, dy_b, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dgout_c = jnp.sum(gf * norm_y, axis=0, keepdims=True)
+    dbout_c = jnp.sum(dy, axis=0, keepdims=True)
+
+    @pl.when(c == 0)
+    def _init():
+        dW_ref[0] = dW_c
+        dwout_ref[0] = dwout_c
+        dgout_ref[0] = dgout_c
+        dbout_ref[0] = dbout_c
+
+    @pl.when(c != 0)
+    def _acc():
+        dW_ref[0] += dW_c
+        dwout_ref[0] += dwout_c
+        dgout_ref[0] += dgout_c
+        dbout_ref[0] += dbout_c
+
+
+def _kernel_bwd2_v5(x_ref, g_ref, gpre_ref, wqkv_ref, w_ref, wout_ref,
+                    bout_ref, gout_ref, dctx_ref, ds_ref, m_ref,
+                    dx_ref, dwqkv_ref, dgpre_ref, *, C):
+    """Backward pass 2: with the global dctx/ds known, produce dx (residual +
+    prenorm-LN backward of dxn) and accumulate dW_qkv / dg_pre."""
+    c = pl.program_id(1)
+    wq = wqkv_ref[:, :HID]
+    (norm_x, r_x, xn, q_soft, q_soft_b, attn_b, norm_y, gf, dy, dy_b,
+     dattn, ones_bd) = _recompute_to_dy(x_ref, g_ref, gpre_ref, wq,
+                                        w_ref, wout_ref, bout_ref, gout_ref,
+                                        C)
+    kv = jax.lax.dot_general(xn, wqkv_ref[:, HID:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    k, v = kv[:, :HID], kv[:, HID:]
+    e = jnp.exp(k - m_ref[0].astype(jnp.float32))
+    e_b = e.astype(jnp.bfloat16)
+    v_b = v.astype(jnp.bfloat16)
+    dattn_b = dattn.astype(jnp.bfloat16)
+    dq_soft = jax.lax.dot_general(dattn_b, w_ref[0], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    tsum = jax.lax.dot_general(dq_soft * q_soft, ones_bd,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dq = q_soft * (dq_soft - tsum)
+    dctx = dctx_ref[0]
+    de = jax.lax.dot_general(v_b, dctx, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ) + ds_ref[0].astype(jnp.float32)
+    dk = e * de
+    dv = jax.lax.dot_general(e_b, dctx, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1).astype(jnp.bfloat16)
+    dxn = jax.lax.dot_general(dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    gpre = gpre_ref[:].astype(jnp.float32)
+    dxln = _ln_bwd_rows(dxn * gpre, norm_x, r_x, C)
+    dx_ref[0] = (gf + dxln).astype(dx_ref.dtype)
+    dwqkv_c = jax.lax.dot_general(xn, dqkv, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dgpre_c = jnp.sum(dxn * norm_x, axis=0, keepdims=True)
+
+    @pl.when(c == 0)
+    def _init():
+        dwqkv_ref[0] = dwqkv_c
+        dgpre_ref[0] = dgpre_c
+
+    @pl.when(c != 0)
+    def _acc():
+        dwqkv_ref[0] += dwqkv_c
+        dgpre_ref[0] += dgpre_c
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
+                            ctx, s, m, g, interpret: bool = False):
+    """Pallas two-pass VJP of the v5 wrap (same math as _wrap_v5_bwd_manual,
+    see its derivation).  Every n-sized intermediate stays chunk-local in
+    VMEM — the manual XLA backward is HBM-bound on its (B,n,HID) f32
+    streams (~17 ms per L0 site at B16/256², profiled)."""
+    B, n, C = x.shape
+    chunk = 1024
+    assert n % chunk == 0, (n, chunk)
+    nchunks = n // chunk
+    gpre2 = g_pre.reshape(1, C)
+    bout2 = b_out.reshape(1, C)
+    gout2 = g_out.reshape(1, C)
+    d_ids = jnp.arange(HID) // DIM_HEAD
+    mask = (d_ids[:, None] == d_ids[None, :]).astype(jnp.float32)
+    rowscale = (DIM_HEAD ** -0.5) / (s.reshape(B, HID, 1) * n)
+    w = (ctx * mask * rowscale).astype(jnp.bfloat16)
+
+    xspec = pl.BlockSpec((1, chunk, C), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = lambda shape: pl.BlockSpec(shape, lambda b, c: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    bspec = lambda shape: pl.BlockSpec(shape, lambda b, c: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    dW, dwout_p, dgout_p, dbout_p = pl.pallas_call(
+        functools.partial(_kernel_bwd1_v5, C=C),
+        grid=(B, nchunks),
+        in_specs=[xspec, xspec, cspec((1, C)), cspec((C, HID)),
+                  bspec((1, HID, HID)), cspec((HID, C)), cspec((1, C)),
+                  cspec((1, C))],
+        out_specs=[bspec((1, HID, HID)), bspec((1, HID, C)),
+                   bspec((1, 1, C)), bspec((1, 1, C))],
+        out_shape=[jax.ShapeDtypeStruct((B, HID, HID), jnp.float32),
+                   jax.ShapeDtypeStruct((B, HID, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
+        interpret=interpret,
+    )(x, g, gpre2, w_qkv[:, :HID], w, w_out, bout2, gout2)
+
+    dctx = dW * mask * rowscale                          # (B, HID, HID) f32
+    ds = -(jnp.sum(dctx * ctx, axis=2) / s.reshape(B, HID)).reshape(B, 1, HID)
+
+    dx, dwqkv_p, dgpre_p = pl.pallas_call(
+        functools.partial(_kernel_bwd2_v5, C=C),
+        grid=(B, nchunks),
+        in_specs=[xspec, xspec, cspec((1, C)), cspec((C, 3 * HID)),
+                  bspec((1, HID, HID)), cspec((HID, C)), cspec((1, C)),
+                  cspec((1, C)), bspec((1, HID, HID)), bspec((1, 1, HID)),
+                  bspec((1, 1, HID))],
+        out_specs=[xspec, bspec((1, C, 3 * HID)), bspec((1, 1, C))],
+        out_shape=[jax.ShapeDtypeStruct((B, n, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, C, 3 * HID), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
+        interpret=interpret,
+    )(x, g, gpre2, w_qkv, w, w_out, bout2, gout2,
+      dctx.astype(jnp.bfloat16), ds, m)
+
+    return (dx,
+            jnp.sum(dgpre_p, axis=0).reshape(C).astype(g_pre.dtype),
+            jnp.sum(dwqkv_p, axis=0).astype(w_qkv.dtype),
+            jnp.sum(dwout_p, axis=0).astype(w_out.dtype),
+            jnp.sum(dbout_p, axis=(0, 1)).astype(b_out.dtype),
+            jnp.sum(dgout_p, axis=(0, 1)).astype(g_out.dtype))
 
 
 def _wrap_v5_bwd(res, g):
-    _, vjp = jax.vjp(jax.checkpoint(_attn_wrap_composition_reference), *res)
+    import os
+
+    x, g_pre, w_qkv, w_out, b_out, g_out, ctx, s, m = res
+    B, n, C = x.shape
+    if (n % 1024 == 0 and x.dtype == jnp.bfloat16
+            and jax.default_backend() != "cpu"
+            and os.environ.get("DACLIP_TPU_V5_PALLAS_BWD", "1") == "1"):
+        return attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
+                                       ctx, s, m, g)
+    if os.environ.get("DACLIP_TPU_V5_MANUAL_BWD", "1") == "1":
+        # recompute-inside-vjp stays off the peak the same way checkpoint did:
+        # everything here is consumed within this backward segment
+        return _wrap_v5_bwd_manual((x, g_pre, w_qkv, w_out, b_out, g_out), g)
+    _, vjp = jax.vjp(jax.checkpoint(_attn_wrap_composition_reference),
+                     x, g_pre, w_qkv, w_out, b_out, g_out)
     return vjp(g)
 
 

@@ -184,6 +184,55 @@ def test_attn_wrap_v5_interpret_matches_reference(monkeypatch, pack):
                                np.asarray(ref, np.float32), atol=0.1)
 
 
+def test_attn_wrap_v5_manual_bwd_exact_in_f32():
+    """_wrap_v5_bwd_manual == jax.vjp(reference composition) when nothing
+    rounds to bf16 (f32 inputs make every cast a no-op)."""
+    import numpy as np
+
+    from daclip_tpu.ops import linear_attention as la
+
+    B, n, C = 2, 256, 64
+    k0 = jax.random.PRNGKey(7)
+    rnd = lambda i, shape, s=1.0: (
+        jax.random.normal(jax.random.fold_in(k0, i), shape, jnp.float32) * s)
+    args = (rnd(0, (B, n, C)), rnd(1, (C,)) * 0.2 + 1.0,
+            rnd(2, (C, 3 * la.HID), 0.2), rnd(3, (la.HID, C), 0.2),
+            rnd(4, (C,), 0.1), rnd(5, (C,)) * 0.2 + 1.0)
+    g = rnd(6, (B, n, C))
+    _, vjp = jax.vjp(la._attn_wrap_composition_reference, *args)
+    want = vjp(g)
+    got = la._wrap_v5_bwd_manual(args, g)
+    for a, b in zip(got, want):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-5)
+
+
+def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual():
+    """Two-pass pallas VJP (interpret) == hand-derived manual backward."""
+    import numpy as np
+
+    from daclip_tpu.ops import linear_attention as la
+
+    B, n, C = 2, 2048, 64
+    k0 = jax.random.PRNGKey(9)
+    rnd = lambda i, shape, s=1.0: (
+        jax.random.normal(jax.random.fold_in(k0, i), shape, jnp.float32) * s)
+    args = (rnd(0, (B, n, C)), rnd(1, (C,)) * 0.2 + 1.0,
+            rnd(2, (C, 3 * la.HID), 0.2), rnd(3, (la.HID, C), 0.2),
+            rnd(4, (C,), 0.1), rnd(5, (C,)) * 0.2 + 1.0)
+    g = rnd(6, (B, n, C))
+    _, ctx, s, m = la.attn_wrap_v5(*args, interpret=True, with_stats=True)
+    got = la.attn_wrap_v5_bwd_pallas(*args, ctx, s, m, g, interpret=True)
+    want = la._wrap_v5_bwd_manual(args, g)
+    # the kernel rounds matmul operands to bf16 (production dtype) even on
+    # f32 inputs; weight-grad chunk sums differ at bf16 rounding level
+    for a, b in zip(got, want):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1.5e-2)
+
+
 def test_attn_wrap_v5_grad_matches_reference():
     from daclip_tpu.ops import linear_attention as la
 
@@ -206,7 +255,7 @@ def test_attn_wrap_v5_grad_matches_reference():
 
     # route the custom_vjp forward through interpret mode on CPU
     orig = la.attn_wrap_v5
-    la.attn_wrap_v5 = lambda *a: orig(*a, interpret=True)
+    la.attn_wrap_v5 = lambda *a, **kw: orig(*a, interpret=True, **kw)
     try:
         g1 = jax.grad(loss_fused, argnums=(0, 2))(x, g_pre, wqkv, wout, bout, gout)
     finally:
