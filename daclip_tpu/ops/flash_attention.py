@@ -154,15 +154,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dsum_ref,
             dv_ref[0, :, s: s + dim_head] += dvh
 
 
+def _bwd_vmem(N: int, HD: int, qc: int) -> int:
+    """Scoped-VMEM estimate: resident k/v bf16 + dk/dv f32 blocks, q/do/dq
+    blocks, per-head (QC,N) transients.  Deliberately does NOT double-count
+    Mosaic double-buffering: with it the production HD=512 site would be
+    rejected, yet the single-call kernel compiles and runs at B16 (and beats
+    the head-split variant 196 vs 214 ms/train-step, measured) — Mosaic
+    single-buffers the constant-index dk/dv blocks within a batch.  B=32
+    does overflow scoped vmem here, but B=32 training exceeds HBM anyway."""
+    return (2 * N * HD * 2 + 2 * N * HD * 4 + 3 * qc * HD * 2
+            + 3 * qc * N * 4 + 2 * qc * N * 2)
+
+
+_BWD_VMEM_BUDGET = 13 * 1024 * 1024
+
+
 def _pick_qc_bwd(N: int, HD: int) -> int:
-    # transients: logits/p f32 (QC,N)·2 + dp f32 (QC,N) + ds/prob_b bf16;
-    # residents: k/v (N,HD)bf16 + dk/dv (N,HD)f32 + q/do/dq (QC,HD)
     for qc in (256, 128, 64, 32, 16, 8):
-        if N % qc:
-            continue
-        vmem = (2 * N * HD * 2 + 2 * N * HD * 4 + 3 * qc * HD * 2
-                + 3 * qc * N * 4 + 2 * qc * N * 2)
-        if vmem <= 13 * 1024 * 1024:
+        if N % qc == 0 and _bwd_vmem(N, HD, qc) <= _BWD_VMEM_BUDGET:
             return qc
     return 0
 
@@ -171,9 +180,32 @@ def _pick_qc_bwd(N: int, HD: int) -> int:
 def flash_self_attention_bwd_pallas(q, k, v, do, dsum, heads, dim_head,
                                     interpret=False):
     """dq/dk/dv for per-head softmax(q·kᵀ·scale)·v given dO and
-    dsum = rowsum(dO ∘ O) per head (B, N, heads) f32."""
+    dsum = rowsum(dO ∘ O) per head (B, N, heads) f32.
+
+    When the whole-HD kernel would exceed scoped VMEM (the resident K/V +
+    f32 dK/dV blocks dominate), heads are split into lane-sliced groups and
+    the kernel runs once per group — the (N,HD) slabs shrink proportionally
+    while the per-head transients are unchanged."""
     B, N, HD = q.shape
     qc = _pick_qc_bwd(N, HD)
+    if qc == 0:
+        groups = 2
+        while heads % groups or _pick_qc_bwd(N, HD // groups) == 0:
+            groups += 1
+            if groups > heads:
+                raise ValueError(f"no head split fits VMEM for N={N} HD={HD}")
+        hg, hd_g = heads // groups, HD // groups
+        parts = [
+            flash_self_attention_bwd_pallas(
+                q[..., i * hd_g:(i + 1) * hd_g],
+                k[..., i * hd_g:(i + 1) * hd_g],
+                v[..., i * hd_g:(i + 1) * hd_g],
+                do[..., i * hd_g:(i + 1) * hd_g],
+                dsum[..., i * hg:(i + 1) * hg],
+                hg, dim_head, interpret=interpret)
+            for i in range(groups)]
+        return tuple(jnp.concatenate([p[j] for p in parts], axis=-1)
+                     for j in range(3))
     qspec = pl.BlockSpec((1, qc, HD), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, N, HD), lambda b, c: (b, 0, 0),
