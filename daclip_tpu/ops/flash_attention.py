@@ -169,11 +169,26 @@ def _bwd_vmem(N: int, HD: int, qc: int) -> int:
 _BWD_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_qc_bwd(N: int, HD: int) -> int:
+def _pick_qc_bwd(N: int, HD: int, B: int = 16) -> int:
+    # empirical batch term: at B=32 Mosaic buffers the constant-index dk/dv
+    # blocks more aggressively and the B=16-sized single call overflows
+    # scoped vmem (19.75M/16M observed); halve the budget so larger batches
+    # take the head-group split instead of dying at compile time
+    budget = _BWD_VMEM_BUDGET if B <= 16 else _BWD_VMEM_BUDGET // 2
     for qc in (256, 128, 64, 32, 16, 8):
-        if N % qc == 0 and _bwd_vmem(N, HD, qc) <= _BWD_VMEM_BUDGET:
+        if N % qc == 0 and _bwd_vmem(N, HD, qc) <= budget:
             return qc
     return 0
+
+
+def flash_bwd_supported(N: int, HD: int, heads: int, B: int = 16) -> bool:
+    """True when either the single-call kernel or a head-group split fits."""
+    if _pick_qc_bwd(N, HD, B):
+        return True
+    for groups in range(2, heads + 1):
+        if heads % groups == 0 and _pick_qc_bwd(N, HD // groups, B):
+            return True
+    return False
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "interpret"))
@@ -187,10 +202,10 @@ def flash_self_attention_bwd_pallas(q, k, v, do, dsum, heads, dim_head,
     the kernel runs once per group — the (N,HD) slabs shrink proportionally
     while the per-head transients are unchanged."""
     B, N, HD = q.shape
-    qc = _pick_qc_bwd(N, HD)
+    qc = _pick_qc_bwd(N, HD, B)
     if qc == 0:
         groups = 2
-        while heads % groups or _pick_qc_bwd(N, HD // groups) == 0:
+        while heads % groups or _pick_qc_bwd(N, HD // groups, B) == 0:
             groups += 1
             if groups > heads:
                 raise ValueError(f"no head split fits VMEM for N={N} HD={HD}")
@@ -231,19 +246,28 @@ def flash_self_attention(q, k, v, heads, dim_head):
     return flash_self_attention_pallas(q, k, v, heads, dim_head)
 
 
+def _use_pallas_bwd(B, N, HD, heads):
+    import os
+
+    return (flash_bwd_supported(N, HD, heads, B)
+            and os.environ.get("DACLIP_TPU_FLASH_BWD", "1") == "1"
+            and jax.default_backend() != "cpu")
+
+
 def _fwd(q, k, v, heads, dim_head):
     out = flash_self_attention_pallas(q, k, v, heads, dim_head)
-    return out, (q, k, v, out)
+    B, N, HD = q.shape
+    # the forward output is only needed by the Pallas backward (for dsum);
+    # don't hold an extra (B,N,HD) activation across fwd->bwd when the
+    # XLA-recompute fallback will run instead
+    keep = out if _use_pallas_bwd(B, N, HD, heads) else None
+    return out, (q, k, v, keep)
 
 
 def _bwd(heads, dim_head, res, g):
-    import os
-
     q, k, v, out = res
     B, N, HD = q.shape
-    if (_pick_qc_bwd(N, HD)
-            and os.environ.get("DACLIP_TPU_FLASH_BWD", "1") == "1"
-            and jax.default_backend() != "cpu"):
+    if out is not None and _use_pallas_bwd(B, N, HD, heads):
         # Pallas backward: the (B,H,N,N) softmax matrix never hits HBM.  The
         # previous XLA-reference recompute materialized it (bf16[16,16,1024,
         # 1024] loop fusions + softmax-backward chains, ~14 ms/train-step at

@@ -385,16 +385,9 @@ def _ln_mxu(x_raw, g, C):
     — VPU lane reductions on C=64 f32 blocks measured ~1.7 ms per 268 MB
     stream, most of the first v5 attempt's overhead.  The dot against M both
     reduces within each group and broadcasts the result back to its lanes."""
-    PC = x_raw.shape[1]
     xf = x_raw.astype(jnp.float32)
-    M = _group_ones(PC, C)
-    mu = jax.lax.dot_general(xf, M, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) / C
-    xc = xf - mu
-    var = jax.lax.dot_general(xc * xc, M, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32) / C
-    return (xc * jax.lax.rsqrt(var + 1e-5)
-            * g.astype(jnp.float32)), xf
+    norm, _ = _ln_parts(xf, C)
+    return norm * g.astype(jnp.float32), xf
 
 
 def _blockdiag(w, P):
@@ -696,14 +689,18 @@ def _wrap_v5_bwd_manual(res, g):
 
 
 def _ln_parts(xf, C):
-    """(norm rows, r) of a (rows, C) f32 block, reductions as MXU ones-dots."""
-    M = _group_ones(C, C)
+    """(norm rows, r) of a (rows, P·C) f32 block, per-C-group, reductions as
+    MXU ones-dots (single source of the kernel-side LN math — _ln_mxu and
+    both backward kernels share it)."""
+    PC = xf.shape[1]
+    M = _group_ones(PC, C)
     mu = jax.lax.dot_general(xf, M, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) / C
     xc = xf - mu
     var = jax.lax.dot_general(xc * xc, M, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) / C
-    return xc * jax.lax.rsqrt(var + 1e-5), jax.lax.rsqrt(var + 1e-5)
+    r = jax.lax.rsqrt(var + 1e-5)
+    return xc * r, r
 
 
 def _ln_bwd_rows(dn, norm, r, C):

@@ -55,21 +55,22 @@ def main(argv=None):
     }
 
     @jax.jit
-    def chained(state, frozen, key):
-        def body(st, k):
+    def chained(state, frozen):
+        # cache-proofness comes from the evolving optimizer state carried
+        # between scanned steps (the batch is deliberately constant)
+        def body(st, _):
             st, metrics = step(st, batch, frozen=frozen)
             return st, metrics["total_loss"]
-        keys = jax.random.split(key, args.chain)
-        st, losses = jax.lax.scan(body, state, keys)
+        st, losses = jax.lax.scan(body, state, None, length=args.chain)
         return st, losses
 
     t0 = time.time()
-    st, losses = chained(state, frozen, jax.random.PRNGKey(1))
+    st, losses = chained(state, frozen)
     jax.block_until_ready(st)
     print(f"compile+first: {time.time() - t0:.1f}s  loss={losses[-1]:.4f}")
     for _ in range(args.reps):
         t0 = time.time()
-        st, _ = chained(st, frozen, jax.random.PRNGKey(2))
+        st, _ = chained(st, frozen)
         jax.block_until_ready(st)
         dt = (time.time() - t0) / args.chain
         print(f"{dt * 1e3:.1f} ms/step   ({B / dt:.1f} samples/s)")
@@ -78,7 +79,7 @@ def main(argv=None):
         from tools.profile_forward import summarize
         trace_dir = tempfile.mkdtemp(prefix="daclip_clip_prof_")
         with jax.profiler.trace(trace_dir):
-            st, _ = chained(st, frozen, jax.random.PRNGKey(3))
+            st, _ = chained(st, frozen)
             jax.block_until_ready(st)
         print(f"trace: {trace_dir}")
         summarize(trace_dir, args.chain, args.top)
