@@ -208,13 +208,15 @@ def test_attn_wrap_v5_manual_bwd_exact_in_f32():
                                    np.asarray(b) / scale, atol=2e-5)
 
 
-def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual():
-    """Two-pass pallas VJP (interpret) == hand-derived manual backward."""
+@pytest.mark.parametrize("C", [64, 128, 256])
+def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual(C):
+    """Two-pass pallas VJP (interpret) == hand-derived manual backward, at
+    every channel width the production UNet runs it (L0 64, L1 128, L2 256)."""
     import numpy as np
 
     from daclip_tpu.ops import linear_attention as la
 
-    B, n, C = 2, 2048, 64
+    B, n = 2, 2048
     k0 = jax.random.PRNGKey(9)
     rnd = lambda i, shape, s=1.0: (
         jax.random.normal(jax.random.fold_in(k0, i), shape, jnp.float32) * s)
