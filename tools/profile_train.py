@@ -23,6 +23,7 @@ def main(argv=None):
     ap.add_argument("--chain", type=int, default=5)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--wild-ir", action="store_true")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args(argv)
@@ -36,11 +37,19 @@ def main(argv=None):
                                               init_state, make_train_step)
 
     B, S = args.batch, args.size
-    net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
-                          use_degra_context=True, use_image_context=True,
-                          remat=not args.no_remat, dtype=jnp.bfloat16)
+    if args.wild_ir:
+        net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 4), context_dim=768,
+                              use_degra_context=True, use_image_context=True,
+                              scale=0.5, remat=not args.no_remat,
+                              dtype=jnp.bfloat16)
+        D = 768
+    else:
+        net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
+                              use_degra_context=True, use_image_context=True,
+                              remat=not args.no_remat, dtype=jnp.bfloat16)
+        D = 512
     lq = jnp.zeros((B, S, S, 3), jnp.float32)
-    ctx = jnp.zeros((B, 512), jnp.float32)
+    ctx = jnp.zeros((B, D), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), lq, lq, jnp.ones((B,)), ctx, ctx)
     sde = IRSDE(max_sigma=50, T=100, schedule="cosine", eps=0.005)
     cfg = RestorationTrainConfig()
