@@ -117,13 +117,35 @@ def _expand(crop, W, H):
     return (xm, ym, x1 - xm, y1 - ym), (x0 - xm, y0 - ym)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_needs_cv2(data: bytes) -> bool:
+    """True for PNGs the native path would silently ALTER vs cv2: 16-bit
+    (cv2 keeps uint16, libpng's simplified API downconverts to 8-bit) and
+    alpha-bearing color types (libpng composites; cv2's IMREAD_UNCHANGED
+    path truncates raw channels).  IHDR layout: sig(8) len(4) 'IHDR'(4)
+    w(4) h(4) bitdepth(1) colortype(1)."""
+    if not data.startswith(_PNG_SIG) or len(data) < 26:
+        return False
+    bit_depth, color_type = data[24], data[25]
+    return bit_depth != 8 or color_type in (4, 6)
+
+
 def decode(data: bytes, crop=None) -> np.ndarray:
     """Decode JPEG/PNG bytes → HWC BGR (or HW1 gray) uint8.  `crop` is an
     optional (x0, y0, w, h) window decoded via crop-at-decode (JPEG decodes
     only the needed rows/iMCU columns + an 8 px context margin); output is
-    bit-identical to full-decode-then-crop."""
+    bit-identical to full-decode-then-crop.
+
+    Raises ValueError for PNGs whose cv2 decode would differ (16-bit /
+    alpha) so callers fall back to the cv2 path instead of silently
+    producing different pixels per host environment."""
     lib = _load()
     assert lib is not None
+    if _png_needs_cv2(data):
+        raise ValueError("16-bit or alpha PNG: native decode would differ "
+                         "from cv2; use the cv2 path")
     W, H, _ = probe(data)
     trim = None
     if crop is None:
@@ -157,6 +179,9 @@ def decode_batch(datas: Sequence[bytes], crops=None,
     lib = _load()
     assert lib is not None
     n = len(datas)
+    if any(_png_needs_cv2(d) for d in datas):
+        raise ValueError("16-bit or alpha PNG in batch: native decode would "
+                         "differ from cv2; use the cv2 path")
     if crops is None:
         crops = [None] * n
     params = np.empty((n, 4), np.int32)

@@ -121,26 +121,30 @@ def read_imgs_cropped(paths, size: int, rng) -> list:
     iMCU columns (~4× less decode work for 512²→256² crops); output is
     bit-identical to full-decode-then-crop.  Returns (imgs, (rnd_h, rnd_w))."""
     nio = _native_io()
-    if (nio is None
-            or not all(p.lower().endswith((".jpg", ".jpeg", ".png"))
-                       for p in paths)):
-        imgs = [read_img(None, p) for p in paths]
-        H, W = imgs[0].shape[:2]
-        rnd_h = rng.randint(0, max(0, H - size))
-        rnd_w = rng.randint(0, max(0, W - size))
-        return ([im[rnd_h:rnd_h + size, rnd_w:rnd_w + size, :] for im in imgs],
-                (rnd_h, rnd_w))
-    datas = []
-    for p in paths:
-        with open(p, "rb") as f:
-            datas.append(f.read())
-    W, H, _ = nio.probe(datas[0])
+    if nio is not None and all(p.lower().endswith((".jpg", ".jpeg", ".png"))
+                               for p in paths):
+        # cv2 fallback on ANY native failure (undecodable variant, 16-bit /
+        # alpha PNG, truncated file) — same contract as read_img
+        try:
+            datas = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    datas.append(f.read())
+            W, H, _ = nio.probe(datas[0])
+            rnd_h = rng.randint(0, max(0, H - size))
+            rnd_w = rng.randint(0, max(0, W - size))
+            crop = (rnd_w, rnd_h, min(size, W - rnd_w), min(size, H - rnd_h))
+            imgs = [nio.decode(d, crop=crop).astype(np.float32) / 255.0
+                    for d in datas]
+            return imgs, (rnd_h, rnd_w)
+        except (ValueError, OSError):
+            pass
+    imgs = [read_img(None, p) for p in paths]
+    H, W = imgs[0].shape[:2]
     rnd_h = rng.randint(0, max(0, H - size))
     rnd_w = rng.randint(0, max(0, W - size))
-    crop = (rnd_w, rnd_h, min(size, W - rnd_w), min(size, H - rnd_h))
-    imgs = [nio.decode(d, crop=crop).astype(np.float32) / 255.0
-            for d in datas]
-    return imgs, (rnd_h, rnd_w)
+    return ([im[rnd_h:rnd_h + size, rnd_w:rnd_w + size, :] for im in imgs],
+            (rnd_h, rnd_w))
 
 
 def save_img(img: np.ndarray, img_path: str):

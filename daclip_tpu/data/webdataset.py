@@ -198,15 +198,15 @@ class ClipWebLoader:
     def __iter__(self):
         imgs, caps, emitted = [], [], 0
         while emitted < self.num_batches:          # resample epochs as needed
-            produced_any = False
+            usable_any = False
             for sample in self.wds:
-                produced_any = True
                 img = next((v for k, v in sample.items()
                             if k.split(".")[-1].lower() in _IMAGE_EXTS), None)
                 cap = next((v for k, v in sample.items()
                             if k.split(".")[-1].lower() in _TEXT_EXTS), None)
                 if img is None or cap is None:
                     continue
+                usable_any = True
                 imgs.append(self.transform(img))
                 caps.append(cap)
                 if len(imgs) == self.batch_size:
@@ -217,6 +217,13 @@ class ClipWebLoader:
                     emitted += 1
                     if emitted >= self.num_batches:
                         return
-            if not produced_any:
-                raise RuntimeError("webdataset produced no usable samples "
-                                   f"from shards {self.wds.shards[:3]}…")
+            # a pass can decode samples yet contain no usable (image, text)
+            # pairs — gating on "usable", not "decoded", keeps that from
+            # spinning forever; and each fill-up pass advances the shuffle
+            # epoch so refills are reshuffled, not byte-identical repeats
+            if not usable_any:
+                raise RuntimeError(
+                    "webdataset produced no usable image+text samples from "
+                    f"shards {self.wds.shards[:3]}… (check extensions: "
+                    f"images {sorted(_IMAGE_EXTS)}, text {sorted(_TEXT_EXTS)})")
+            self.wds.set_epoch(self.wds.epoch + 1)

@@ -86,7 +86,11 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     acc = float(np.mean(np.asarray(gt) == np.asarray(pred))) if gt else 0.0
     base_acc = float(np.mean(pred_base_ok)) if pred_base_ok else 0.0
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "per_class_accuracy.csv"), "w") as f:
+    # per-checkpoint file names: multi-checkpoint comparison runs share
+    # out_dir, and unsuffixed CSVs silently overwrote each other
+    ckpt_name = os.path.splitext(os.path.basename(checkpoint_path))[0]
+    with open(os.path.join(out_dir,
+                           f"per_class_accuracy_{ckpt_name}.csv"), "w") as f:
         f.write("class,correct,total,accuracy\n")
         for c, (ok, tot) in sorted(per_class.items()):
             f.write(f"{c},{ok},{tot},{ok / max(tot, 1):.4f}\n")
@@ -94,9 +98,8 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     cm = np.zeros((len(classes), len(classes)), np.int64)
     for g, p in zip(gt, pred):
         cm[g, p] += 1
-    np.savetxt(os.path.join(out_dir, "confusion_matrix.csv"), cm, fmt="%d",
-               delimiter=",", header=",".join(classes))
-    ckpt_name = os.path.splitext(os.path.basename(checkpoint_path))[0]
+    np.savetxt(os.path.join(out_dir, f"confusion_matrix_{ckpt_name}.csv"),
+               cm, fmt="%d", delimiter=",", header=",".join(classes))
     from daclip_tpu.eval.plots import plot_confusion_matrix
     plot_confusion_matrix(
         cm, classes, f"Confusion Matrix: {ckpt_name}",
@@ -159,8 +162,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     results = {}
     for spec in args.checkpoint:
-        name, _, path = spec.rpartition("=")
-        path = path or spec
+        # "name=path" spec — but a bare path may itself contain '='
+        # (e.g. epoch=5.pt), so an existing file always wins
+        if "=" in spec and not os.path.exists(spec):
+            name, _, path = spec.partition("=")
+        else:
+            name, path = "", spec
         name = name or os.path.splitext(os.path.basename(path))[0]
         print(f"Evaluating {name}")
         results[name] = evaluate_checkpoint(path, args.dataset, args.model,

@@ -188,8 +188,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     results = {}
     for spec in args.checkpoint:
-        name, _, path = spec.rpartition("=")
-        path = path or spec
+        # "name=path" spec — but a bare path may itself contain '='
+        # (e.g. epoch=5.pt), so an existing file always wins
+        if "=" in spec and not os.path.exists(spec):
+            name, _, path = spec.partition("=")
+        else:
+            name, path = "", spec
         name = name or os.path.splitext(os.path.basename(path))[0]
         print(f"Evaluating {name}")
         results[name] = evaluate_checkpoint(path, args.dataset, args.model,

@@ -11,6 +11,7 @@ Reference parity:
 """
 from __future__ import annotations
 
+import copy
 import dataclasses
 import json
 import math
@@ -210,7 +211,10 @@ def get_model_config(name: str) -> Dict:
     name = name.replace("/", "-")
     if name not in _MODEL_CONFIGS:
         raise KeyError(f"unknown model {name!r}; available: {list_models()}")
-    return dict(_MODEL_CONFIGS[name])
+    # deep copy: callers mutate nested vision_cfg/text_cfg dicts (factory
+    # force_* overrides); a shallow dict() leaked those writes into the
+    # shared registry (and into daclip_* aliases of the same object)
+    return copy.deepcopy(_MODEL_CONFIGS[name])
 
 
 class CLIP(nn.Module):
@@ -383,26 +387,36 @@ class DaCLIP(nn.Module):
             image_size=v.image_size, patch_size=v.patch_size, width=v.width,
             layers=v.layers, heads=v.heads, mlp_ratio=v.mlp_ratio,
             output_dim=self.cfg.embed_dim, quick_gelu=self.cfg.quick_gelu,
-            controller=True, remat=self.remat, dtype=self.dtype)
+            controller=True, patch_dropout=v.patch_dropout,
+            remat=self.remat, dtype=self.dtype)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(math.log(1 / 0.07), jnp.float32))
         if self.use_predictor:
             self.predictor = MultiTypeDegradationPredictor(dtype=self.dtype)
 
-    def encode_image(self, image, control: bool = False, normalize: bool = False):
+    def encode_image(self, image, control: bool = False,
+                     normalize: bool = False, train: bool = False):
+        # `train` enables PatchDropout in BOTH towers when configured; each
+        # tower draws its own 'patch_dropout' rng fold, i.e. independent
+        # token subsets — matching the reference, where model.train() puts
+        # both (deepcopy-shared PatchDropout) towers in train mode with
+        # independent torch randomness (daclip_model.py:17-38)
         if control:
-            degra_features, hiddens = self.visual_control(image, output_hiddens=True)
+            degra_features, hiddens = self.visual_control(
+                image, output_hiddens=True, train=train)
             # hiddens: (L, B, N, D); Transformer flips internally for pop() parity.
-            image_features = self.clip.encode_image(image, control=hiddens)
+            image_features = self.clip.encode_image(image, control=hiddens,
+                                                    train=train)
             n = CLIP._norm
             return n(image_features, normalize), n(degra_features, normalize)
-        return self.clip.encode_image(image, normalize=normalize)
+        return self.clip.encode_image(image, normalize=normalize, train=train)
 
     def encode_text(self, text, normalize: bool = False):
         return self.clip.encode_text(text, normalize=normalize)
 
     def __call__(self, image=None, text=None, gt_images=None, deg_type=None,
-                 gt_val=None, bin_center_bank=None, all_d_type_tokens=None):
+                 gt_val=None, bin_center_bank=None, all_d_type_tokens=None,
+                 train: bool = False):
         """Training forward.
 
         Base DA-CLIP (daclip_model.py:60-76): pass image + text (caption‖degradation
@@ -417,14 +431,16 @@ class DaCLIP(nn.Module):
             caption, degradation = jnp.split(text, 2, axis=-1)
         out = {"logit_scale": jnp.exp(self.logit_scale)}
         if image is not None:
-            img_f, degra_f = self.encode_image(image, control=True, normalize=True)
+            img_f, degra_f = self.encode_image(image, control=True,
+                                               normalize=True, train=train)
             out["image_features"] = img_f
             out["image_degra_features"] = degra_f
         if caption is not None:
             out["text_features"] = self.encode_text(caption, normalize=True)
             out["text_degra_features"] = self.encode_text(degradation, normalize=True)
         if gt_images is not None:
-            out["gt_image_features"] = self.encode_image(gt_images, normalize=True)
+            out["gt_image_features"] = self.encode_image(
+                gt_images, normalize=True, train=train)
         if self.use_predictor and all_d_type_tokens is not None:
             toks = all_d_type_tokens
             if toks.ndim == 3:  # (B, 28, 77) constant bank → encode once

@@ -142,27 +142,26 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
         else:
             params = {"params": trainable}
         kwargs = {}
+        # --force-patch-dropout applies to every variant (reference
+        # model.train() semantics); deterministic per-step rng derived from
+        # the optimizer step so the step signature stays (state, batch, ...)
+        if cfg.patch_dropout:
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), batch["_step"])
+            kwargs = dict(train=True, rngs={"patch_dropout": rng})
         if cfg.variant == "fork" and banks is not None:
-            kwargs = dict(deg_type=batch["deg_type"], gt_val=batch["gt_val"],
+            kwargs.update(deg_type=batch["deg_type"], gt_val=batch["gt_val"],
                           bin_center_bank=jnp.asarray(banks[0]),
                           all_d_type_tokens=jnp.asarray(banks[1]))
             out = model_apply(params, image=batch["images"], text=batch["texts"],
                               gt_images=batch.get("gt_images"), **kwargs)
             losses = daclip_loss_fork(out)
         elif cfg.variant == "uir":
-            out = model_apply(params, image=batch["images"], text=batch["texts"])
+            out = model_apply(params, image=batch["images"],
+                              text=batch["texts"], **kwargs)
             losses = daclip_loss_uir(out)
         else:  # plain CLIP harness path (main.py without --da)
-            if cfg.patch_dropout:
-                # deterministic per-step rng derived from the optimizer step so
-                # the step signature stays (state, batch, frozen)
-                rng = jax.random.fold_in(jax.random.PRNGKey(0), batch["_step"])
-                out = model_apply(params, image=batch["images"],
-                                  text=batch["texts"], train=True,
-                                  rngs={"patch_dropout": rng})
-            else:
-                out = model_apply(params, image=batch["images"],
-                                  text=batch["texts"])
+            out = model_apply(params, image=batch["images"],
+                              text=batch["texts"], **kwargs)
             if cfg.distill and distill_apply is not None:
                 t_out = distill_apply({"params": distill_params},
                                       image=batch["images"],

@@ -22,10 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _ones_like_mask(tree):
-    return jax.tree.map(lambda p: jnp.ones((1,) * 0, jnp.float32), tree)
-
-
 def _layer_axis_mask(leaf, n_layers: int, unlocked_layers: int):
     """(L,1,…)-shaped 0/1 mask unlocking the LAST `unlocked_layers` layers of a
     stacked (L,…) leaf — matching the torch groups ordering where groups are

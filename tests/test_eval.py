@@ -86,8 +86,8 @@ def test_evaluate_daclip_end_to_end(tmp_path):
     res = evaluate_checkpoint(str(ckpt), str(root), model_name="daclip_test-tiny",
                               batch_size=2, out_dir=str(tmp_path / "out"))
     assert 0.0 <= res["accuracy"] <= 1.0
-    assert (tmp_path / "out" / "per_class_accuracy.csv").exists()
-    assert (tmp_path / "out" / "confusion_matrix.csv").exists()
+    assert (tmp_path / "out" / "per_class_accuracy_tiny_daclip.csv").exists()
+    assert (tmp_path / "out" / "confusion_matrix_tiny_daclip.csv").exists()
     # plot artifacts (evaluate_daclip.py:150-218 parity)
     assert (tmp_path / "out" / "confusion_matrix_tiny_daclip.png").exists()
     assert len(res["full_class_acc"]) == len(res["classes"]) == 2

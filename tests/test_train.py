@@ -1,5 +1,6 @@
 """Training-step tests: restoration + DA-CLIP, EMA, schedules, checkpoint
 roundtrip, and the sharded multi-device path."""
+import dataclasses
 import math
 
 import jax
@@ -140,6 +141,54 @@ def test_clip_train_step_freezes_clip_and_clamps_scale():
                          s0.params["visual_control"],
                          state.params["visual_control"])
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_clip_train_step_fork_with_patch_dropout():
+    """--force-patch-dropout must be ACTIVE in the --da fork variant too
+    (reference model.train() semantics; it used to be a silent no-op)."""
+    tiny = dataclasses.replace(
+        TINY, vision=dataclasses.replace(TINY.vision, patch_dropout=0.5))
+    model = DaCLIP(tiny, use_predictor=True)
+    B = 4
+    img = jnp.zeros((B, 32, 32, 3))
+    txt = jnp.zeros((B, 32), jnp.int32)
+    toks = jnp.ones((28, 16), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), image=img, text=txt,
+                           gt_images=img, deg_type=jnp.ones((B, 4)),
+                           gt_val=jnp.ones((B, 4)),
+                           bin_center_bank=jnp.ones((4, 7)),
+                           all_d_type_tokens=toks)
+    trainable, frozen = partition_daclip_params(variables["params"])
+    cfg = ClipTrainConfig(lr=1e-3, warmup=2, total_steps=10, variant="fork",
+                          patch_dropout=True)
+    state = clip_init(trainable, cfg)
+    banks = (np.ones((4, 7), np.float32), np.ones((28, 16), np.int32))
+    step = jax.jit(make_clip_step(model.apply, frozen, cfg, banks))
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "images": jax.random.uniform(key, (B, 32, 32, 3)),
+        "texts": jax.random.randint(key, (B, 32), 1, 127),
+        "gt_images": jax.random.uniform(key, (B, 32, 32, 3)),
+        "deg_type": jnp.ones((B, 4)),
+        "gt_val": jnp.ones((B, 4)) * 2.0,
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # dropout actually engaged: train=False forward on the same params gives
+    # different features than the train-time forward used in the loss
+    merged = {"params": {**state.params, **frozen}}
+    f_eval = model.apply(merged, image=batch["images"], text=batch["texts"],
+                         deg_type=batch["deg_type"], gt_val=batch["gt_val"],
+                         bin_center_bank=jnp.ones((4, 7)),
+                         all_d_type_tokens=toks)
+    f_train = model.apply(merged, image=batch["images"], text=batch["texts"],
+                          deg_type=batch["deg_type"], gt_val=batch["gt_val"],
+                          bin_center_bank=jnp.ones((4, 7)),
+                          all_d_type_tokens=toks, train=True,
+                          rngs={"patch_dropout": jax.random.PRNGKey(3)})
+    diff = float(jnp.abs(f_eval["image_features"]
+                         - f_train["image_features"]).max())
+    assert diff > 1e-6
 
 
 def test_multidevice_restoration_step():
