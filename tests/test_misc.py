@@ -171,3 +171,54 @@ def test_tensor_parallel_clip_forward_matches_replicated():
     np.testing.assert_allclose(np.asarray(out["text_features"]),
                                np.asarray(want["text_features"]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_webloader_raises_on_no_usable_pairs(tmp_path):
+    """A shard that decodes samples but contains no (image, text) PAIRS must
+    raise instead of spinning forever (the guard used to key on 'decoded
+    anything', which a caption-less tar satisfies)."""
+    from PIL import Image
+
+    from daclip_tpu.data.webdataset import ClipWebLoader, WebDataset
+    with tarfile.open(tmp_path / "imgs-000.tar", "w") as tf:
+        for i in range(3):
+            p = tmp_path / f"k{i}.jpg"
+            Image.new("RGB", (8, 8), (i, i, i)).save(p)
+            tf.add(p, arcname=f"k{i}.jpg")
+    ds = WebDataset(str(tmp_path / "imgs-000.tar"))
+    loader = ClipWebLoader(ds, transform=lambda im: np.zeros((4, 4, 3)),
+                           tokenizer=lambda caps: np.zeros((len(caps), 7)),
+                           batch_size=2, num_samples=4)
+    with pytest.raises(RuntimeError, match="usable"):
+        next(iter(loader))
+
+
+def test_webloader_refill_passes_are_reshuffled(tmp_path):
+    """When num_samples exceeds one pass, fill-up passes advance the shuffle
+    epoch (they used to replay the identical order)."""
+    from PIL import Image
+
+    from daclip_tpu.data.webdataset import ClipWebLoader, WebDataset
+    with tarfile.open(tmp_path / "pairs-000.tar", "w") as tf:
+        for i in range(4):
+            p = tmp_path / f"p{i}.jpg"
+            Image.new("RGB", (8, 8), (40 * i, 0, 0)).save(p)
+            tf.add(p, arcname=f"p{i}.jpg")
+            t = tmp_path / f"p{i}.txt"
+            t.write_text(f"cap {i}")
+            tf.add(t, arcname=f"p{i}.txt")
+    ds = WebDataset(str(tmp_path / "pairs-000.tar"), shuffle_buffer=4, seed=3)
+    seen_epochs = []
+    orig = ds.set_epoch
+
+    def spy(e):
+        seen_epochs.append(e)
+        orig(e)
+
+    ds.set_epoch = spy
+    loader = ClipWebLoader(ds, transform=lambda im: np.asarray(im, np.float32),
+                           tokenizer=lambda caps: np.zeros((len(caps), 7)),
+                           batch_size=4, num_samples=12)   # 3 passes
+    batches = list(loader)
+    assert len(batches) == 3
+    assert seen_epochs == [1, 2]   # two refill passes advanced the epoch

@@ -91,3 +91,43 @@ def test_read_imgs_cropped_matches_full_path(tmp_path):
     assert pos_native == pos_ref
     for a, b in zip(imgs_native, imgs_ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_16bit_and_alpha_pngs_fall_back_to_cv2(tmp_path):
+    """Native decode must REFUSE PNGs whose cv2 decode differs (16-bit depth,
+    alpha color types) so read_img keeps cv2's value semantics per host."""
+    rng = np.random.default_rng(1)
+    img16 = (rng.random((16, 16, 3)) * 65535).astype(np.uint16)
+    ok, png16 = cv2.imencode(".png", img16)
+    assert ok
+    with pytest.raises(ValueError):
+        native_io.decode(png16.tobytes())
+
+    rgba = (rng.random((16, 16, 4)) * 255).astype(np.uint8)
+    ok, png_a = cv2.imencode(".png", rgba)
+    assert ok
+    with pytest.raises(ValueError):
+        native_io.decode(png_a.tobytes())
+
+    # read_img end-to-end: same values as the pure-cv2 path
+    from daclip_tpu.data.util import read_img
+    p16 = tmp_path / "img16.png"
+    p16.write_bytes(png16.tobytes())
+    got = read_img(None, str(p16))
+    want = cv2.imread(str(p16), cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_read_imgs_cropped_cv2_fallback_on_bad_bytes(tmp_path):
+    """A file the native core can't decode must fall back to cv2 (not crash);
+    with cv2 also unable to read it, the error surfaces as FileNotFoundError
+    from read_img — never a raw native ValueError."""
+    from daclip_tpu.data.util import read_imgs_cropped
+    good = tmp_path / "a.png"
+    rng = np.random.default_rng(2)
+    cv2.imwrite(str(good), (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+    bad = tmp_path / "b.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n" + b"garbage" * 4)
+    r = random.Random(0)
+    with pytest.raises(FileNotFoundError):
+        read_imgs_cropped([str(good), str(bad)], size=16, rng=r)
