@@ -162,13 +162,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     results = {}
     for spec in args.checkpoint:
-        # "name=path" spec — but a bare path may itself contain '='
-        # (e.g. epoch=5.pt), so an existing file always wins
-        if "=" in spec and not os.path.exists(spec):
-            name, _, path = spec.partition("=")
-        else:
-            name, path = "", spec
-        name = name or os.path.splitext(os.path.basename(path))[0]
+        from daclip_tpu.eval import parse_checkpoint_spec
+        name, path = parse_checkpoint_spec(spec)
         print(f"Evaluating {name}")
         results[name] = evaluate_checkpoint(path, args.dataset, args.model,
                                             args.batch_size, args.out_dir,

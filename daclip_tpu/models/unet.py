@@ -672,9 +672,8 @@ class TapDotConv3x3(nn.Module):
     def __call__(self, x):
         import os
 
-        B, H, W, C = x.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, C, self.out_nc), jnp.float32)
+                            (3, 3, x.shape[-1], self.out_nc), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.out_nc,), jnp.float32)
         tap = (self.dtype == jnp.bfloat16

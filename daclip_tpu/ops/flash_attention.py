@@ -181,14 +181,18 @@ def _pick_qc_bwd(N: int, HD: int, B: int = 16) -> int:
     return 0
 
 
+def _head_groups(N: int, HD: int, heads: int, B: int) -> int:
+    """Smallest head-group count whose per-group kernel fits VMEM
+    (1 = single call); 0 when no split works."""
+    for groups in range(1, heads + 1):
+        if heads % groups == 0 and _pick_qc_bwd(N, HD // groups, B):
+            return groups
+    return 0
+
+
 def flash_bwd_supported(N: int, HD: int, heads: int, B: int = 16) -> bool:
     """True when either the single-call kernel or a head-group split fits."""
-    if _pick_qc_bwd(N, HD, B):
-        return True
-    for groups in range(2, heads + 1):
-        if heads % groups == 0 and _pick_qc_bwd(N, HD // groups, B):
-            return True
-    return False
+    return _head_groups(N, HD, heads, B) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head", "interpret"))
@@ -202,13 +206,11 @@ def flash_self_attention_bwd_pallas(q, k, v, do, dsum, heads, dim_head,
     the kernel runs once per group — the (N,HD) slabs shrink proportionally
     while the per-head transients are unchanged."""
     B, N, HD = q.shape
-    qc = _pick_qc_bwd(N, HD, B)
-    if qc == 0:
-        groups = 2
-        while heads % groups or _pick_qc_bwd(N, HD // groups, B) == 0:
-            groups += 1
-            if groups > heads:
-                raise ValueError(f"no head split fits VMEM for N={N} HD={HD}")
+    groups = _head_groups(N, HD, heads, B)
+    if groups == 0:
+        raise ValueError(f"no head split fits VMEM for N={N} HD={HD}")
+    qc = _pick_qc_bwd(N, HD, B) if groups == 1 else 0
+    if groups > 1:
         hg, hd_g = heads // groups, HD // groups
         parts = [
             flash_self_attention_bwd_pallas(
