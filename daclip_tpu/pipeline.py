@@ -90,31 +90,39 @@ class DACLIPRestorer:
                          schedule=cfg.schedule, eps=cfg.eps)
         self.buckets = default_buckets(step=cfg.buckets_step)
 
-        self._encode = jax.jit(self._encode_impl)
-        self._sample = jax.jit(self._sample_impl)
+        # params enter the jitted programs as ARGUMENTS, not closure
+        # constants: inlining the 150M-param CLIP as HLO constants makes a
+        # program too large for remote compile services (HTTP 413 observed
+        # on the axon tunnel) and bloats compile time everywhere — the same
+        # fix the train step got in round 1 (frozen passed per call)
+        enc = jax.jit(self._encode_impl)
+        smp = jax.jit(self._sample_impl)
+        self._encode = lambda img: enc(self.daclip_params, img)
+        self._sample = lambda lq, key, tctx, ictx: smp(
+            self.unet_params, lq, key, tctx, ictx)
 
     # -- model wrappers --------------------------------------------------------
-    def _encode_impl(self, img4clip):
+    def _encode_impl(self, daclip_params, img4clip):
         img_f, degra_f = self.daclip.apply(
-            {"params": self.daclip_params}, img4clip, control=True, normalize=True,
+            {"params": daclip_params}, img4clip, control=True, normalize=True,
             method=self.daclip.encode_image)
         return img_f.astype(jnp.float32), degra_f.astype(jnp.float32)
 
-    def _noise_fn(self, x, mu, t, text_context=None, image_context=None):
-        return self.unet.apply({"params": self.unet_params}, x, mu, t,
-                               text_context, image_context)
+    def _sample_impl(self, unet_params, lq, key, tctx, ictx):
+        def noise_fn(x, mu, t, text_context=None, image_context=None):
+            return self.unet.apply({"params": unet_params}, x, mu, t,
+                                   text_context, image_context)
 
-    def _sample_impl(self, lq, key, tctx, ictx):
         k1, k2 = jax.random.split(key)
         x_T = self.sde.noise_state(k1, lq)
         mode = self.cfg.sampling_mode
         if mode == "sde":
-            return self.sde.reverse_sde(self._noise_fn, x_T, lq, k2,
+            return self.sde.reverse_sde(noise_fn, x_T, lq, k2,
                                         text_context=tctx, image_context=ictx)
         if mode == "ode":
-            return self.sde.reverse_ode(self._noise_fn, x_T, lq,
+            return self.sde.reverse_ode(noise_fn, x_T, lq,
                                         text_context=tctx, image_context=ictx)
-        return self.sde.reverse_posterior(self._noise_fn, x_T, lq, k2,
+        return self.sde.reverse_posterior(noise_fn, x_T, lq, k2,
                                           text_context=tctx, image_context=ictx)
 
     # -- public API --------------------------------------------------------------
