@@ -181,12 +181,19 @@ def main(argv=None):
         daclip_params = jax.tree.map(
             jnp.asarray, convert_daclip(load_torch_state_dict(str(daclip_path))))
 
-        def daclip_apply(clip_view):
+        def _daclip_apply(params, clip_view):
             img_f, degra_f = daclip.apply(
-                {"params": daclip_params}, clip_view, control=True, normalize=True,
+                {"params": params}, clip_view, control=True, normalize=True,
                 method=daclip.encode_image)
             return (jax.lax.stop_gradient(img_f.astype(jnp.float32)),
                     jax.lax.stop_gradient(degra_f.astype(jnp.float32)))
+
+        # params as jit ARGUMENTS (closure constants blow the remote-compile
+        # size limit with real-size checkpoints — see pipeline.py)
+        _daclip_jit = jax.jit(_daclip_apply)
+
+        def daclip_apply(clip_view):
+            return _daclip_jit(daclip_params, clip_view)
     elif use_ctx:
         log.warning("no daclip checkpoint at %s — training without contexts",
                     daclip_path)
@@ -250,7 +257,7 @@ def main(argv=None):
     # per-host data sharding: each host feeds a distinct stripe of the global
     # batch (IterSampler host striding; identical feeds would silently
     # replicate samples across the GSPMD global batch)
-    ctx_fn = (jax.jit(daclip_apply) if daclip_apply is not None else None)
+    ctx_fn = daclip_apply  # already jitted with params as arguments
     train_loader, val_ds = build_dataloaders(
         opt, num_hosts=jax.process_count(), host_id=jax.process_index(),
         context_fn=ctx_fn, log=log)

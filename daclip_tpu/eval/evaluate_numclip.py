@@ -61,10 +61,14 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     params_tree = convert_daclip(load_torch_state_dict(checkpoint_path))
     params = {"params": params_tree}
 
-    encode_text = jax.jit(lambda toks: model.apply(
-        params, toks, normalize=True, method=model.encode_text))
-    encode_image = jax.jit(lambda imgs: model.apply(
-        params, imgs, control=True, normalize=True, method=model.encode_image))
+    # params as jit ARGUMENTS (closure constants blow the remote-compile
+    # size limit with real-size checkpoints — see pipeline.py)
+    _et = jax.jit(lambda p, toks: model.apply(
+        p, toks, normalize=True, method=model.encode_text))
+    _ei = jax.jit(lambda p, imgs: model.apply(
+        p, imgs, control=True, normalize=True, method=model.encode_image))
+    encode_text = lambda toks: _et(params, toks)
+    encode_image = lambda imgs: _ei(params, imgs)
 
     bin_bank, tok_bank = build_banks(tokenize)
     tok_features = np.asarray(encode_text(jnp.asarray(tok_bank)), np.float32)

@@ -80,10 +80,14 @@ def evaluate(checkpoint: str, dataset: str, model_name: str = "daclip_ViT-B-32",
         p["clip"] = convert_clip(sd)
         params = {"params": p}
 
-    encode_text = jax.jit(lambda t: model.apply(params, t, normalize=True,
-                                                method=model.encode_text))
-    encode_image = jax.jit(lambda im: model.apply(params, im, normalize=True,
-                                                  method=model.encode_image))
+    # params as jit ARGUMENTS (closure constants blow the remote-compile
+    # size limit with real-size checkpoints — see pipeline.py)
+    _et = jax.jit(lambda p, t: model.apply(p, t, normalize=True,
+                                           method=model.encode_text))
+    _ei = jax.jit(lambda p, im: model.apply(p, im, normalize=True,
+                                            method=model.encode_image))
+    encode_text = lambda t: _et(params, t)
+    encode_image = lambda im: _ei(params, im)
     return evaluate_with_encoders(encode_image, encode_text, dataset,
                                   cfg.vision.image_size, batch_size,
                                   max_per_class, classnames)
