@@ -154,29 +154,29 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dsum_ref,
             dv_ref[0, :, s: s + dim_head] += dvh
 
 
-def _bwd_vmem(N: int, HD: int, qc: int) -> int:
-    """Scoped-VMEM estimate: resident k/v bf16 + dk/dv f32 blocks, q/do/dq
-    blocks, per-head (QC,N) transients.  Deliberately does NOT double-count
-    Mosaic double-buffering: with it the production HD=512 site would be
-    rejected, yet the single-call kernel compiles and runs at B16 (and beats
-    the head-split variant 196 vs 214 ms/train-step, measured) — Mosaic
-    single-buffers the constant-index dk/dv blocks within a batch.  B=32
-    does overflow scoped vmem here, but B=32 training exceeds HBM anyway."""
-    return (2 * N * HD * 2 + 2 * N * HD * 4 + 3 * qc * HD * 2
+def _bwd_vmem(N: int, HD: int, qc: int, db: bool) -> int:
+    """Scoped-VMEM estimate: resident k/v bf16 + dk/dv f32 slabs, q/do/dq
+    blocks, per-head (QC,N) transients.  `db` double-counts the resident
+    slabs: Mosaic single-buffers the constant-index k/v/dk/dv blocks at
+    B ≤ 16 (measured: the HD=512 single call compiles and beats the split
+    196 vs 214 ms/train-step) but double-buffers them at larger batches
+    (B=24: 16.43M/16M, B=32: 19.75M/16M compile failures observed)."""
+    resident = 2 * N * HD * 2 + 2 * N * HD * 4
+    return ((2 * resident if db else resident) + 3 * qc * HD * 2
             + 3 * qc * N * 4 + 2 * qc * N * 2)
 
 
 _BWD_VMEM_BUDGET = 13 * 1024 * 1024
+# the db estimate undercounts Mosaic's fixed overhead by ~4M (measured
+# 16.55M real vs 12.6M estimated at B24/HD512/qc32) — use a tighter budget
+_BWD_VMEM_BUDGET_DB = 11 * 1024 * 1024
 
 
 def _pick_qc_bwd(N: int, HD: int, B: int = 16) -> int:
-    # empirical batch term: at B=32 Mosaic buffers the constant-index dk/dv
-    # blocks more aggressively and the B=16-sized single call overflows
-    # scoped vmem (19.75M/16M observed); halve the budget so larger batches
-    # take the head-group split instead of dying at compile time
-    budget = _BWD_VMEM_BUDGET if B <= 16 else _BWD_VMEM_BUDGET // 2
+    db = B > 16
+    budget = _BWD_VMEM_BUDGET_DB if db else _BWD_VMEM_BUDGET
     for qc in (256, 128, 64, 32, 16, 8):
-        if N % qc == 0 and _bwd_vmem(N, HD, qc) <= budget:
+        if N % qc == 0 and _bwd_vmem(N, HD, qc, db=db) <= budget:
             return qc
     return 0
 
