@@ -267,3 +267,19 @@ def test_attn_wrap_v5_grad_matches_reference():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=0.5, rtol=0.3)
+
+
+def test_flash_bwd_vmem_gating_by_batch():
+    """Empirical compile anchors: the HD=512 single call fits at B=16 but
+    overflows scoped VMEM at B>16 (Mosaic double-buffers the resident slabs)
+    — large batches must head-split instead of failing to compile."""
+    from daclip_tpu.ops import flash_attention as fa
+
+    # production mid/up3 site
+    assert fa._pick_qc_bwd(1024, 512, B=16) > 0
+    assert fa._pick_qc_bwd(1024, 512, B=24) == 0
+    assert fa._head_groups(1024, 512, 16, 16) == 1
+    assert fa._head_groups(1024, 512, 16, 24) >= 2
+    # down3 site (HD=256) fits either way
+    assert fa._head_groups(1024, 256, 8, 16) == 1
+    assert fa.flash_bwd_supported(1024, 512, 16, 24)
