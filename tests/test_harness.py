@@ -159,3 +159,37 @@ def test_train_daclip_tp_mesh(tmp_path):
           "--model", "daclip_test-tiny", "--logs", str(tmp_path),
           "--name", "tp", "--precision", "fp32", "--mesh", "2,2,2"])
     assert (tmp_path / "tp" / "checkpoints").exists()
+
+
+def test_remote_sync_fsspec_roundtrip(tmp_path):
+    """The previously egress-untested remote-sync logic, exercised end to end
+    with a local directory standing in for the bucket (the fsspec protocol
+    treats local paths as a filesystem): sync up (epoch_latest excluded),
+    list for --resume latest, mirror back down."""
+    from daclip_tpu.utils import file_utils
+
+    local = tmp_path / "logs" / "run" / "checkpoints"
+    (local / "step_100").mkdir(parents=True)
+    (local / "step_100" / "ckpt.bin").write_bytes(b"A" * 64)
+    (local / "step_200").mkdir()
+    (local / "step_200" / "ckpt.bin").write_bytes(b"B" * 64)
+    (local / "epoch_latest.tmp").write_bytes(b"transient")
+    remote = tmp_path / "bucket" / "run" / "checkpoints"
+
+    assert file_utils.remote_sync(str(local), str(remote), "fsspec")
+    # epoch_latest artifacts are excluded, checkpoint dirs mirrored
+    assert (remote / "step_100" / "ckpt.bin").read_bytes() == b"A" * 64
+    assert (remote / "step_200" / "ckpt.bin").read_bytes() == b"B" * 64
+    assert not (remote / "epoch_latest.tmp").exists()
+    # second sync skips same-size files (no error, still true)
+    assert file_utils.remote_sync(str(local), str(remote), "fsspec")
+
+    # --resume latest: list the remote, mirror it down
+    names = file_utils.list_remote_dir(str(remote))
+    assert "step_100" in names and "step_200" in names
+    down = tmp_path / "resume"
+    assert file_utils.download_remote_dir(str(remote), str(down)) is not None
+    assert (down / "step_200" / "ckpt.bin").read_bytes() == b"B" * 64
+
+    # unknown protocol is a clean failure, not an exception
+    assert not file_utils.remote_sync(str(local), str(remote), "nope")
