@@ -160,17 +160,19 @@ def test_linear_attention_v4_interpret_matches_v2():
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("pack", ["0", "1"])
-def test_attn_wrap_v5_interpret_matches_reference(monkeypatch, pack):
+@pytest.mark.parametrize("pack,C", [("0", 64), ("1", 64), ("0", 128),
+                                    ("0", 256)])
+def test_attn_wrap_v5_interpret_matches_reference(monkeypatch, pack, C):
     """v5 whole-wrap (Residual(PreNorm(LinearAttention)), split kernels,
-    MXU-dot LN reductions) vs the XLA composition reference — both the plain
-    and the pixel-pair-packed (DACLIP_TPU_ATTN_PACK) kernel layouts."""
+    MXU-dot LN reductions) vs the XLA composition reference — the plain and
+    pixel-pair-packed (DACLIP_TPU_ATTN_PACK) layouts at L0 width, plus the
+    production L1/L2 channel widths."""
     from daclip_tpu.ops.linear_attention import (
         _attn_wrap_composition_reference, attn_wrap_v5)
 
     monkeypatch.setenv("DACLIP_TPU_ATTN_PACK", pack)
     key = jax.random.PRNGKey(11)
-    B, n, C = 2, 2048, 64
+    B, n = 2, 2048
     ks = jax.random.split(key, 6)
     x = jax.random.normal(ks[0], (B, n, C)).astype(jnp.bfloat16)
     g_pre = jax.random.normal(ks[1], (C,)).astype(jnp.bfloat16)
