@@ -28,7 +28,7 @@ def test_conv3x3_pallas_interpret_matches_lax():
     got = pl.pallas_call(
         functools.partial(conv3x3._kernel, TH=8, W=W, C=C, O=O),
         grid=(B, H // 8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((3, 3, C, O), lambda b, h: (0, 0, 0, 0))],
         out_specs=pl.BlockSpec((1, 8, W, O), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
