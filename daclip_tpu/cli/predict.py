@@ -18,8 +18,19 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="DA-CLIP universal image restoration")
     p.add_argument("-i", "--input", required=True, help="image file or folder")
     p.add_argument("-o", "--output", default="results", help="output folder")
-    p.add_argument("--unet", required=True, help="universal-ir.pth (torch) path")
-    p.add_argument("--daclip", required=True, help="daclip_ViT-B-32.pt path")
+    p.add_argument("--unet", default=None,
+                   help="UNet weights: torch .pth, orbax train dir, or .npz")
+    p.add_argument("--checkpoint", default=None,
+                   help="alias for --unet pointing at an orbax train dir — "
+                        "serve a model THIS framework trained (torch-free; "
+                        "EMA params by default)")
+    p.add_argument("--daclip", default=None,
+                   help="DA-CLIP weights: torch .pt, orbax train dir, or .npz;"
+                        " omit for context-free UNets")
+    p.add_argument("--no-ema", action="store_true",
+                   help="serve raw (non-EMA) params from a native train dir")
+    p.add_argument("--step", type=int, default=None,
+                   help="step to load from a native train dir (default latest)")
     p.add_argument("--model-name", default="daclip_ViT-B-32")
     p.add_argument("--sampling-mode", default="posterior",
                    choices=["posterior", "sde", "ode"])
@@ -46,7 +57,11 @@ def main(argv=None):
                              sampling_mode=args.sampling_mode, T=args.T,
                              sample_T=args.sample_T, max_sigma=args.max_sigma,
                              tile_size=args.tile_size)
-    restorer = DACLIPRestorer.from_torch(args.unet, args.daclip, cfg)
+    unet = args.checkpoint or args.unet
+    if not unet:
+        p.error("one of --unet / --checkpoint is required")
+    restorer = DACLIPRestorer.load(unet, args.daclip, cfg,
+                                   use_ema=not args.no_ema, step=args.step)
 
     paths = ([os.path.join(args.input, f) for f in sorted(os.listdir(args.input))]
              if os.path.isdir(args.input) else [args.input])

@@ -21,8 +21,21 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("-opt", required=True, help="path to test yml")
-    p.add_argument("--unet", default=None)
-    p.add_argument("--daclip", default=None)
+    p.add_argument("--unet", default=None,
+                   help="UNet weights: torch .pth, orbax train dir "
+                        "(cli/train_restoration.py output), or .npz")
+    p.add_argument("--checkpoint", default=None,
+                   help="alias for --unet pointing at an orbax train dir — "
+                        "evaluate a model THIS framework trained (no torch "
+                        "needed; EMA params by default)")
+    p.add_argument("--daclip", default=None,
+                   help="DA-CLIP weights: torch .pt, orbax train dir "
+                        "(cli/train_daclip.py output), or .npz")
+    p.add_argument("--no-ema", action="store_true",
+                   help="serve raw (non-EMA) params from a native train dir")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step to load from a native train dir "
+                        "(default: latest)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--save-images", action="store_true")
     p.add_argument("--lpips-weights", default=None,
@@ -52,9 +65,10 @@ def main(argv=None):
         schedule=sde_opt.get("schedule", "cosine"),
         eps=sde_opt.get("eps", 0.005),
         sampling_mode=sde_opt.get("sampling_mode", "posterior"))
-    unet_path = args.unet or opt["path"]["pretrain_model_G"]
+    unet_path = args.checkpoint or args.unet or opt["path"]["pretrain_model_G"]
     daclip_path = args.daclip or opt["path"]["daclip"]
-    restorer = DACLIPRestorer.from_torch(unet_path, daclip_path, rcfg)
+    restorer = DACLIPRestorer.load(unet_path, daclip_path, rcfg,
+                                   use_ema=not args.no_ema, step=args.step)
 
     lpips_fn = None
     if args.lpips_weights:

@@ -92,6 +92,7 @@ def main(argv=None):
                                           tp_param_shardings)
     from daclip_tpu.tokenizer import tokenize
     from daclip_tpu.train.clip_train import (ClipTrainConfig, init_state,
+                                             make_accum_train_step,
                                              make_train_step, merge_params,
                                              partition_daclip_params)
     from daclip_tpu.train.locking import build_update_mask
@@ -237,7 +238,17 @@ def main(argv=None):
         grad_clip_norm=args.grad_clip_norm, accum_freq=args.accum_freq,
         variant=variant, distill=distill_apply is not None,
         patch_dropout=bool(args.force_patch_dropout))
-    state = init_state(trainable, cfg)
+    # accum_freq > 1 uses the reference-semantic cached-feature two-pass step
+    # (train/clip_train.py:make_accum_train_step) — ONE real optimizer update
+    # per accum_freq micro-batches, so the optimizer state is the plain one
+    import dataclasses as _dc
+    use_accum = args.accum_freq > 1
+    if use_accum and distill_apply is not None:
+        raise SystemExit("--accum-freq > 1 with --distill-model is "
+                         "unsupported (the reference only distills at "
+                         "accum_freq 1, training/train.py:109-121)")
+    state = init_state(trainable,
+                       _dc.replace(cfg, accum_freq=1) if use_accum else cfg)
 
     # parameter placement over the mesh: TP > fsdp > replicated
     if d_model > 1:
@@ -259,10 +270,14 @@ def main(argv=None):
     # off, opt in with DACLIP_TPU_DONATE=1
     donate = ((0,) if (os.environ.get("DACLIP_TPU_DONATE") == "1"
                        and jax.default_backend() != "cpu") else ())
-    step_fn = jax.jit(
-        make_train_step(model.apply, frozen, cfg, banks,
-                        update_mask=update_mask, distill_apply=distill_apply),
-        donate_argnums=donate)
+    if use_accum:
+        inner_step = make_accum_train_step(model.apply, frozen, cfg, banks,
+                                           update_mask=update_mask)
+    else:
+        inner_step = make_train_step(model.apply, frozen, cfg, banks,
+                                     update_mask=update_mask,
+                                     distill_apply=distill_apply)
+    step_fn = jax.jit(inner_step, donate_argnums=donate)
 
     # ---- resume (main.py:131-163 + 426-459) --------------------------------
     start_epoch = 0
@@ -370,9 +385,23 @@ def main(argv=None):
         loader.set_epoch(epoch)
         t0 = time.time()
         losses = []
+        micro = []  # accum_freq micro-batch staging (train.py:125-145)
         for i, batch in enumerate(loader):
-            dev = {k: jax.device_put(np.asarray(v), shard)
-                   for k, v in batch.items() if isinstance(v, np.ndarray)}
+            if use_accum:
+                micro.append({k: np.asarray(v) for k, v in batch.items()
+                              if isinstance(v, np.ndarray)})
+                if len(micro) < args.accum_freq:
+                    continue
+                # (accum_freq, B, ...): micro-batch axis replicated, batch
+                # axis data-sharded
+                stacked_shard = NamedSharding(mesh, P(None, "data"))
+                dev = {k: jax.device_put(
+                    np.stack([m_[k] for m_ in micro]), stacked_shard)
+                    for k in micro[0]}
+                micro = []
+            else:
+                dev = {k: jax.device_put(np.asarray(v), shard)
+                       for k, v in batch.items() if isinstance(v, np.ndarray)}
             sargs = (dev, frozen, distill_params) if distill_apply else \
                 (dev, frozen)
             state, m = step_fn(state, *sargs)

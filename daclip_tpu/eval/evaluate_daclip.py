@@ -21,7 +21,8 @@ import numpy as np
 def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
                         model_name: str = "daclip_ViT-B-32",
                         batch_size: int = 32, out_dir: str = "eval_results",
-                        max_per_class: int = None):
+                        max_per_class: int = None,
+                        display_name: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -30,8 +31,7 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
 
     from daclip_tpu.tokenizer import tokenize as _tokenize
     from daclip_tpu.transforms import clip_transform
-    from daclip_tpu.utils.torch_convert import (convert_daclip,
-                                                load_torch_state_dict)
+    from daclip_tpu.utils.native_checkpoint import load_daclip_any
     from daclip_tpu.data.util import read_img
 
     classes = sorted(c for c in os.listdir(dataset_path)
@@ -42,7 +42,13 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     cfg = CLIPCfg.from_dict(get_model_config(model_name))
     tokenize = partial(_tokenize, context_length=cfg.text.context_length)
     model = DaCLIP(cfg, dtype=jnp.bfloat16)
-    params = {"params": convert_daclip(load_torch_state_dict(checkpoint_path))}
+    # torch .pt, orbax train dir (cli/train_daclip.py), or flat .npz —
+    # the native paths need no torch at all
+    loaded = dict(load_daclip_any(
+        checkpoint_path, cfg.vision.image_size,
+        cfg.vision.patch_size if not cfg.vision.is_resnet else None))
+    loaded.pop("predictor", None)  # classification uses degra features only
+    params = {"params": loaded}
 
     # params as jit ARGUMENTS (closure constants blow the remote-compile
     # size limit with real-size checkpoints — see pipeline.py)
@@ -91,8 +97,11 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     base_acc = float(np.mean(pred_base_ok)) if pred_base_ok else 0.0
     os.makedirs(out_dir, exist_ok=True)
     # per-checkpoint file names: multi-checkpoint comparison runs share
-    # out_dir, and unsuffixed CSVs silently overwrote each other
-    ckpt_name = os.path.splitext(os.path.basename(checkpoint_path))[0]
+    # out_dir, and unsuffixed CSVs silently overwrote each other.  Prefer the
+    # parsed name= label — two checkpoints with the same basename in
+    # different directories would still collide on basename alone
+    ckpt_name = display_name or os.path.splitext(
+        os.path.basename(os.path.normpath(checkpoint_path)))[0]
     with open(os.path.join(out_dir,
                            f"per_class_accuracy_{ckpt_name}.csv"), "w") as f:
         f.write("class,correct,total,accuracy\n")
@@ -171,7 +180,8 @@ def main(argv=None):
         print(f"Evaluating {name}")
         results[name] = evaluate_checkpoint(path, args.dataset, args.model,
                                             args.batch_size, args.out_dir,
-                                            args.max_per_class)
+                                            args.max_per_class,
+                                            display_name=name)
     if len(results) > 1:
         compare_checkpoints(results, args.out_dir)
 

@@ -36,7 +36,7 @@ def _gt_value_from_class(cname: str):
 def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
                         model_name: str = "daclip_ViT-B-32",
                         batch_size: int = 32, out_dir: str = "numclip_results",
-                        max_per_class=None):
+                        max_per_class=None, display_name: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +47,7 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     from daclip_tpu.tokenizer import tokenize as _tokenize
     from daclip_tpu.transforms import clip_transform
     from daclip_tpu.data.util import read_img
-    from daclip_tpu.utils.torch_convert import (convert_daclip,
-                                                load_torch_state_dict)
+    from daclip_tpu.utils.native_checkpoint import load_daclip_any
 
     classes = sorted(c for c in os.listdir(dataset_path)
                      if os.path.isdir(os.path.join(dataset_path, c)))
@@ -58,7 +57,11 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
     cfg = CLIPCfg.from_dict(get_model_config(model_name))
     tokenize = partial(_tokenize, context_length=cfg.text.context_length)
     model = DaCLIP(cfg, use_predictor=True, dtype=jnp.bfloat16)
-    params_tree = convert_daclip(load_torch_state_dict(checkpoint_path))
+    # torch .pt, orbax train dir (cli/train_daclip.py), or flat .npz — the
+    # native paths need no torch at all
+    params_tree = load_daclip_any(
+        checkpoint_path, cfg.vision.image_size,
+        cfg.vision.patch_size if not cfg.vision.is_resnet else None)
     params = {"params": params_tree}
 
     # params as jit ARGUMENTS (closure constants blow the remote-compile
@@ -130,7 +133,8 @@ def evaluate_checkpoint(checkpoint_path: str, dataset_path: str,
                 np.concatenate(all_feats, 0))
         np.save(os.path.join(emb_dir, "labels.npy"), np.asarray(all_labels))
 
-    ckpt_name = os.path.splitext(os.path.basename(checkpoint_path))[0]
+    ckpt_name = display_name or os.path.splitext(
+        os.path.basename(os.path.normpath(checkpoint_path)))[0]
     with open(os.path.join(out_dir, f"predictions_{ckpt_name}.csv"), "w") as f:
         f.write("filename,ground_truth,prediction\n")
         for row in pred_logs:
@@ -197,7 +201,8 @@ def main(argv=None):
         print(f"Evaluating {name}")
         results[name] = evaluate_checkpoint(path, args.dataset, args.model,
                                             args.batch_size, args.out_dir,
-                                            args.max_per_class)
+                                            args.max_per_class,
+                                            display_name=name)
     if len(results) > 1:
         from daclip_tpu.eval.evaluate_daclip import compare_checkpoints
         compare_checkpoints(results, args.out_dir)

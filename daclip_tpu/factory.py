@@ -118,10 +118,8 @@ def create_model(
                           use_predictor and is_daclip)
 
     if pretrained:
-        from daclip_tpu.utils.torch_convert import (convert_clip,
-                                                    convert_daclip,
-                                                    initial_controller,
-                                                    load_torch_state_dict)
+        from daclip_tpu.utils.native_checkpoint import (is_native_checkpoint,
+                                                        load_daclip_any)
         path = Path(pretrained)
         if not path.exists():
             url_cfg = get_pretrained_cfg(model_name, pretrained)
@@ -130,22 +128,39 @@ def create_model(
                     f"pretrained {pretrained!r} is neither a local file nor a "
                     f"known tag for {model_name!r}")
             path = Path(download_pretrained(url_cfg, cache_dir=cache_dir))
-        sd = load_torch_state_dict(str(path))
         v = cfg.vision
         ps = v.patch_size if not v.is_resnet else None
-        if is_daclip and any(k.startswith("visual_control.") for k in sd):
-            loaded = convert_daclip(sd, v.image_size, ps)     # full DaCLIP ckpt
-            if not use_predictor:
+        if is_native_checkpoint(str(path)):
+            # a checkpoint THIS framework trained (orbax dir from
+            # cli/train_daclip.py, or flat .npz) — no torch on this path, so
+            # a torch-free TPU host can serve its own training runs
+            # load_daclip_any handles plain CLIP train dirs too (trainable
+            # partition = the whole tree, frozen = {})
+            loaded = load_daclip_any(str(path))
+            if is_daclip and not use_predictor:
+                loaded = dict(loaded)
                 loaded.pop("predictor", None)
             params = dict(params)
             params.update(loaded)
-        elif is_daclip:
-            # two-phase: CLIP weights → initial_controller (factory.py:236-239)
-            params = dict(params)
-            params["clip"] = convert_clip(sd, v.image_size, ps)
-            params = initial_controller(params)
         else:
-            params = convert_clip(sd, v.image_size, ps)
+            from daclip_tpu.utils.torch_convert import (convert_clip,
+                                                        convert_daclip,
+                                                        initial_controller,
+                                                        load_torch_state_dict)
+            sd = load_torch_state_dict(str(path))
+            if is_daclip and any(k.startswith("visual_control.") for k in sd):
+                loaded = convert_daclip(sd, v.image_size, ps)  # full DaCLIP ckpt
+                if not use_predictor:
+                    loaded.pop("predictor", None)
+                params = dict(params)
+                params.update(loaded)
+            elif is_daclip:
+                # two-phase: CLIP weights → initial_controller (factory.py:236-239)
+                params = dict(params)
+                params["clip"] = convert_clip(sd, v.image_size, ps)
+                params = initial_controller(params)
+            else:
+                params = convert_clip(sd, v.image_size, ps)
     return model, params
 
 

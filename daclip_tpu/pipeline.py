@@ -83,23 +83,28 @@ class DACLIPRestorer:
             use_image_context=cfg.use_image_context, scale=cfg.scale,
             spatial_attn_min_level=cfg.spatial_attn_min_level, dtype=dtype)
         clip_cfg = CLIPCfg.from_dict(get_model_config(cfg.model_name))
-        self.daclip = DaCLIP(clip_cfg, dtype=dtype)
+        self.daclip = DaCLIP(clip_cfg, dtype=dtype) if daclip_params is not None else None
         self.unet_params = jax.tree.map(jnp.asarray, unet_params)
-        self.daclip_params = jax.tree.map(jnp.asarray, daclip_params)
+        self.daclip_params = (jax.tree.map(jnp.asarray, daclip_params)
+                              if daclip_params is not None else None)
         self.sde = IRSDE(max_sigma=cfg.max_sigma, T=cfg.T, sample_T=cfg.sample_T,
                          schedule=cfg.schedule, eps=cfg.eps)
         self.buckets = default_buckets(step=cfg.buckets_step)
+        self._text_feature_cache: Dict[tuple, np.ndarray] = {}
 
         # params enter the jitted programs as ARGUMENTS, not closure
         # constants: inlining the 150M-param CLIP as HLO constants makes a
         # program too large for remote compile services (HTTP 413 observed
         # on the axon tunnel) and bloats compile time everywhere — the same
         # fix the train step got in round 1 (frozen passed per call)
-        enc = jax.jit(self._encode_impl)
         smp = jax.jit(self._sample_impl)
-        self._encode = lambda img: enc(self.daclip_params, img)
         self._sample = lambda lq, key, tctx, ictx: smp(
             self.unet_params, lq, key, tctx, ictx)
+        if self.daclip is not None:
+            enc = jax.jit(self._encode_impl)
+            self._encode = lambda img: enc(self.daclip_params, img)
+        else:
+            self._encode = lambda img: (None, None)
 
     # -- model wrappers --------------------------------------------------------
     def _encode_impl(self, daclip_params, img4clip):
@@ -133,27 +138,57 @@ class DACLIPRestorer:
         exactly like predict.py:34-56.  The UNet architecture (nf/ch_mult/
         context/scale) is inferred from the checkpoint itself and overrides the
         config, so daclip-sde and wild-ir checkpoints both load unmodified."""
-        from daclip_tpu.utils.torch_convert import (convert_daclip, convert_unet,
-                                                    infer_unet_arch,
-                                                    load_torch_state_dict)
+        return cls.load(unet_path, daclip_path, cfg)
+
+    @classmethod
+    def from_train_dir(cls, train_dir: str, daclip: Optional[str] = None,
+                       cfg: Optional[RestorerConfig] = None,
+                       use_ema: bool = True,
+                       step: Optional[int] = None) -> "DACLIPRestorer":
+        """Serve a model THIS framework trained: `train_dir` is the orbax
+        checkpoint dir written by cli/train_restoration.py.  EMA params by
+        default — reference parity: eval/serving uses the EMA net
+        (denoising_model.py:118,199-201).  `daclip` may be a torch .pt, a
+        cli/train_daclip.py orbax dir, a flat .npz, or None (trains/serves
+        context-free UNets).  No torch import on the native path."""
+        return cls.load(train_dir, daclip, cfg, use_ema=use_ema, step=step)
+
+    @classmethod
+    def load(cls, unet: str, daclip: Optional[str] = None,
+             cfg: Optional[RestorerConfig] = None, use_ema: bool = True,
+             step: Optional[int] = None) -> "DACLIPRestorer":
+        """Format-dispatching constructor: each of `unet` / `daclip` may be a
+        torch checkpoint file, an orbax train dir (ours), or a flat .npz
+        (utils/native_checkpoint.py)."""
+        from daclip_tpu.utils.native_checkpoint import (load_daclip_any,
+                                                        load_unet_any)
         cfg = cfg or RestorerConfig()
-        unet_sd = load_torch_state_dict(unet_path)
-        arch = infer_unet_arch(unet_sd)
+        unet_params, arch = load_unet_any(unet, step=step, use_ema=use_ema)
         cfg = dataclasses.replace(
             cfg, nf=arch["nf"], ch_mult=arch["ch_mult"],
             context_dim=arch["context_dim"],
             use_degra_context=arch["use_degra_context"],
             use_image_context=arch["use_image_context"], scale=arch["scale"],
             spatial_attn_min_level=arch["spatial_attn_min_level"])
-        unet_params = convert_unet(unet_sd, depth=len(cfg.ch_mult))
-        daclip_params = convert_daclip(load_torch_state_dict(daclip_path))
-        # the fork's regression head is not used in restoration; our DaCLIP here
-        # is built without it, so drop the params if the checkpoint has them
-        daclip_params.pop("predictor", None)
+        daclip_params = None
+        if daclip is not None:
+            clip_cfg = CLIPCfg.from_dict(get_model_config(cfg.model_name))
+            v = clip_cfg.vision
+            daclip_params = load_daclip_any(
+                daclip, v.image_size, v.patch_size if not v.is_resnet else None)
+            # the fork's regression head is not used in restoration; our DaCLIP
+            # here is built without it, so drop the params if present
+            daclip_params = dict(daclip_params)
+            daclip_params.pop("predictor", None)
+        else:
+            cfg = dataclasses.replace(cfg, use_degra_context=False,
+                                      use_image_context=False)
         return cls(cfg, unet_params, daclip_params)
 
     def contexts(self, image_rgb: np.ndarray):
         """CLIP contexts from the LQ image ([0,1] float RGB HWC)."""
+        if self.daclip is None:
+            return None, None
         view = clip_transform(image_rgb, self.daclip.cfg.vision.image_size)[None]
         img_ctx, degra_ctx = self._encode(jnp.asarray(view))
         if not self.cfg.use_image_context:
@@ -212,7 +247,6 @@ class DACLIPRestorer:
                                        return_uint8=False)
                 continue
             bh, bw = bucket
-            res = self.daclip.cfg.vision.image_size
             batch, views = [], []
             for i in idxs:
                 img = images_rgb[i]
@@ -220,10 +254,15 @@ class DACLIPRestorer:
                 batch.append(np.pad(img, ((0, bh - H), (0, bw - W), (0, 0)),
                                     mode="reflect")
                              if (bh != H or bw != W) else img)
-                views.append(clip_transform(img, res))
+                if self.daclip is not None:
+                    views.append(clip_transform(
+                        img, self.daclip.cfg.vision.image_size))
             # ONE batched CLIP encode for the whole group (per-image batch-1
             # encodes cost B separate device dispatches for identical results)
-            ictx, dctx = self._encode(jnp.asarray(np.stack(views)))
+            if self.daclip is not None:
+                ictx, dctx = self._encode(jnp.asarray(np.stack(views)))
+            else:
+                ictx = dctx = None
             if not self.cfg.use_image_context:
                 ictx = None
             if not self.cfg.use_degra_context:
@@ -302,20 +341,34 @@ class DACLIPRestorer:
                 wacc[yi: yi + th, xi: xi + tw] += w
         return acc / np.maximum(wacc, 1e-8)
 
+    def text_features(self, class_names) -> np.ndarray:
+        """Encoded+normalized text features for class names, cached per restorer
+        (the prompt set is a per-restorer constant — re-encoding per image was
+        the same per-step waste the reference has at daclip_model.py:147)."""
+        key = tuple(class_names)
+        if key not in self._text_feature_cache:
+            from daclip_tpu.tokenizer import tokenize
+            toks = jnp.asarray(tokenize(
+                list(class_names),
+                context_length=self.daclip.cfg.text.context_length))
+            self._text_feature_cache[key] = np.asarray(
+                self.daclip.apply({"params": self.daclip_params}, toks,
+                                  normalize=True,
+                                  method=self.daclip.encode_text),
+                np.float32)
+        return self._text_feature_cache[key]
+
     def classify_degradation(self, image_rgb: np.ndarray, class_names=None):
         """Zero-shot degradation classification from degra features — the
         evaluate_daclip.py:63-104 flow; returns (best_name, probs dict)."""
-        from daclip_tpu.tokenizer import tokenize
-
+        if self.daclip is None:
+            raise ValueError("this restorer was loaded without a DA-CLIP "
+                             "checkpoint; classification needs one")
         class_names = class_names or DEGRADATION_CLASSES
         img_ctx, degra_ctx = self._encode(
             jnp.asarray(clip_transform(image_rgb,
                                        self.daclip.cfg.vision.image_size)[None]))
-        toks = jnp.asarray(tokenize(
-            list(class_names),
-            context_length=self.daclip.cfg.text.context_length))
-        text_f = self.daclip.apply({"params": self.daclip_params}, toks,
-                                   normalize=True, method=self.daclip.encode_text)
+        text_f = jnp.asarray(self.text_features(class_names))
         sims = jnp.einsum("d,kd->k", degra_ctx[0] /
                           jnp.linalg.norm(degra_ctx[0]), text_f)
         probs = jax.nn.softmax(100.0 * sims)

@@ -10,7 +10,11 @@ Key translations:
     optax mask on ndim >= 2.
   * logit_scale clamp to [0, ln(100)] after each step (train.py:187-189).
   * gather_features → implicit GSPMD global-batch loss (losses/clip_loss.py).
-  * grad accumulation (train.py:124-162) → optax.MultiSteps.
+  * grad accumulation (train.py:124-162) → make_accum_train_step, the
+    reference-semantic cached-feature two-pass with GLOBAL negatives across
+    the accumulated batch.  (make_train_step's optax.MultiSteps path remains
+    for plain loss averaging, but it is NOT the reference semantics: each
+    micro-batch only sees its own B negatives.)
 """
 from __future__ import annotations
 
@@ -202,4 +206,165 @@ def make_train_step(model_apply: Callable, frozen_params, cfg: ClipTrainConfig,
         metrics["logit_scale"] = jnp.exp(params["logit_scale"])
         return ClipTrainState(params, opt_state, state.step + 1), metrics
 
+    return train_step
+
+
+# per-sample feature keys eligible for cached-feature splicing (everything the
+# losses consume with a leading batch dim; batch-independent constants like
+# all_d_type_tokens_features / bin_center_features are recomputed live)
+_ACCUM_SPLICE_KEYS = ("image_features", "text_features",
+                      "image_degra_features", "text_degra_features",
+                      "gt_image_features", "pred", "deg_type", "gt_val")
+
+
+def make_accum_train_step(model_apply: Callable, frozen_params,
+                          cfg: ClipTrainConfig, banks: Optional[Tuple] = None,
+                          update_mask=None):
+    """REFERENCE-semantic gradient accumulation — the cached-feature
+    global-negative two-pass of training/train.py:124-162, as one jit:
+
+      pass 1: no-grad forward over all `accum_freq` micro-batches, caching
+              per-sample features (train.py:125-135),
+      pass 2: re-forward each micro-batch WITH grad, splicing its live
+              features into the cached bank — so every micro-batch's loss is
+              the FULL accum_freq·B-batch contrastive loss, with the other
+              micro-batches as negatives (train.py:148-162's torch.cat of
+              accumulated[:j] + [model_out] + accumulated[j+1:]),
+      accumulated gradient = Σ_j ∂L/∂f_j·∂f_j/∂θ = the exact gradient of the
+      full accum_freq·B-batch loss (each backward covers one feature block).
+
+    `optax.MultiSteps` (make_optimizer's accum path, used by make_train_step)
+    is NOT this: it averages per-micro-batch losses where each micro-batch
+    only sees its own B negatives — a different contrastive objective.  Use
+    THIS step to reproduce large-batch reference recipes on small-memory
+    chips.
+
+    Faithful quirks kept: the accumulated gradient is not divided by
+    accum_freq (reference calls backward(total_loss) per j), and logit_scale —
+    live in every pass-2 forward — receives accum_freq× its full-batch
+    gradient, exactly like the reference where logit_scale participates in
+    each backward.  GT images are NOT re-encoded in pass 2 (train.py:152
+    calls model(images, texts)); their features come from the cache (the GT
+    tower is the frozen CLIP, so no gradient is lost).
+
+    Returns train_step(state, batches, frozen=None) where every `batches`
+    leaf has leading shape (accum_freq, B, ...).  Distill is unsupported,
+    matching the reference (its dist_model only runs in the accum_freq==1
+    branch, train.py:109-121).
+    """
+    if cfg.accum_freq <= 1:
+        raise ValueError("make_accum_train_step needs accum_freq > 1; "
+                         "use make_train_step otherwise")
+    if cfg.distill:
+        raise ValueError(
+            "distillation + grad accumulation is unsupported, as in the "
+            "reference (train.py:109-121 only distills at accum_freq 1)")
+    # the optimizer applies ONE real update per call here — no MultiSteps
+    tx = make_optimizer(dataclasses.replace(cfg, accum_freq=1), None)
+    default_frozen = frozen_params
+
+    def forward(trainable, mb, frozen, step, j, include_gt):
+        if frozen:
+            params = {"params": merge_params(
+                trainable, jax.tree.map(jax.lax.stop_gradient, frozen))}
+        else:
+            params = {"params": trainable}
+        kwargs = {}
+        if cfg.patch_dropout:
+            # SAME rng per micro-batch in both passes, so spliced live
+            # features equal their cached values and each loss_j is exactly
+            # the full-batch loss
+            rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(0), step), j)
+            kwargs = dict(train=True, rngs={"patch_dropout": rng})
+        if cfg.variant == "fork" and banks is not None:
+            kwargs.update(deg_type=mb["deg_type"], gt_val=mb["gt_val"],
+                          bin_center_bank=jnp.asarray(banks[0]),
+                          all_d_type_tokens=jnp.asarray(banks[1]))
+            return model_apply(
+                params, image=mb["images"], text=mb["texts"],
+                gt_images=mb.get("gt_images") if include_gt else None,
+                **kwargs)
+        return model_apply(params, image=mb["images"], text=mb["texts"],
+                           **kwargs)
+
+    def variant_losses(out):
+        if cfg.variant == "fork" and banks is not None:
+            return daclip_loss_fork(out)
+        if cfg.variant == "uir":
+            return daclip_loss_uir(out)
+        return {"contrastive_loss": clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"])}
+
+    def loss_and_grads(trainable, batches, frozen, step):
+        """Accumulated (total, losses, grads) over the two-pass — exposed so
+        tests can assert grads == full-batch grads (see train_step attr)."""
+        A, B = jax.tree.leaves(batches)[0].shape[:2]
+
+        # ---- pass 1: cache features, no grad (train.py:125-135) ----------
+        def cache_one(j):
+            mb = jax.tree.map(lambda x: x[j], batches)
+            out = forward(trainable, mb, frozen, step, j, include_gt=True)
+            return {k: out[k] for k in _ACCUM_SPLICE_KEYS
+                    if out.get(k) is not None}
+
+        cached = jax.lax.stop_gradient(jax.lax.map(cache_one, jnp.arange(A)))
+        flat_cache = {k: v.reshape((A * B,) + v.shape[2:])
+                      for k, v in cached.items()}
+
+        # ---- pass 2: per-micro-batch grad with global negatives ----------
+        def loss_fn_j(params_j, j):
+            mb = jax.tree.map(lambda x: x[j], batches)
+            out = forward(params_j, mb, frozen, step, j, include_gt=False)
+            spliced = dict(out)
+            for k, flat in flat_cache.items():
+                live = out.get(k)
+                if live is None:  # e.g. gt features: cache-only in pass 2
+                    spliced[k] = flat
+                else:
+                    spliced[k] = jax.lax.dynamic_update_slice_in_dim(
+                        flat, live.astype(flat.dtype), j * B, axis=0)
+            losses = variant_losses(spliced)
+            total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+            losses = {k: jnp.asarray(v, jnp.float32)
+                      for k, v in losses.items()}
+            return total, losses
+
+        grad_fn = jax.value_and_grad(loss_fn_j, has_aux=True)
+        (total0, losses0), g0 = grad_fn(trainable, jnp.int32(0))
+
+        def step_j(carry, j):
+            g_acc, t_acc, l_acc = carry
+            (tj, lj), gj = grad_fn(trainable, j)
+            return (jax.tree.map(jnp.add, g_acc, gj), t_acc + tj,
+                    jax.tree.map(jnp.add, l_acc, lj)), None
+
+        (grads, total, losses), _ = jax.lax.scan(
+            step_j, (g0, total0, losses0), jnp.arange(1, A))
+        return total, losses, grads
+
+    def train_step(state: ClipTrainState, batches, frozen=None,
+                   distill_params=None):
+        del distill_params  # rejected above; kept for signature parity
+        if frozen is None:
+            frozen = default_frozen
+        A = jax.tree.leaves(batches)[0].shape[0]
+        total, losses, grads = loss_and_grads(state.params, batches, frozen,
+                                              state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if update_mask is not None:  # LiT locking (train/locking.py)
+            from daclip_tpu.train.locking import apply_update_mask
+            updates = apply_update_mask(updates, update_mask)
+        params = optax.apply_updates(state.params, updates)
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0,
+                                         math.log(100.0))
+        # every loss_j is the same full-batch loss value — report the mean
+        metrics = {k: v / A for k, v in losses.items()}
+        metrics["total_loss"] = total / A
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["logit_scale"] = jnp.exp(params["logit_scale"])
+        return ClipTrainState(params, opt_state, state.step + 1), metrics
+
+    train_step.loss_and_grads = loss_and_grads  # test hook (grad parity)
     return train_step
