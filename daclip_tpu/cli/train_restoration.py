@@ -142,6 +142,11 @@ def main(argv=None):
         is_weighted=bool(train_opt.get("is_weighted", False)),
         grad_clip=(float(train_opt["gradient_clipping"])
                    if train_opt.get("gradient_clipping") else None),
+        # EMA defaults = reference's EMA(model, beta=0.995, update_every=10)
+        # (denoising_model.py:118); overridable for short runs where the
+        # ~1000-step effective EMA window would dominate the horizon
+        ema_beta=float(train_opt.get("ema_beta", 0.995)),
+        ema_update_every=int(train_opt.get("ema_update_every", 10)),
     )
     sde_opt = opt["sde"] or {}
     sde = IRSDE(max_sigma=sde_opt.get("max_sigma", 50), T=sde_opt.get("T", 100),
@@ -331,6 +336,7 @@ def main(argv=None):
         save_checkpoint(ckpt_dir, step, state, max_to_keep=5)
     run_val(state, step)
     log.info("done: best psnr %.4f @ step %d", best_psnr, best_step)
+    return {"best_psnr": best_psnr, "best_step": best_step, "final_step": step}
 
 
 if __name__ == "__main__":

@@ -124,12 +124,28 @@ def _png_needs_cv2(data: bytes) -> bool:
     """True for PNGs the native path would silently ALTER vs cv2: 16-bit
     (cv2 keeps uint16, libpng's simplified API downconverts to 8-bit) and
     alpha-bearing color types (libpng composites; cv2's IMREAD_UNCHANGED
-    path truncates raw channels).  IHDR layout: sig(8) len(4) 'IHDR'(4)
-    w(4) h(4) bitdepth(1) colortype(1)."""
+    path truncates raw channels), plus palette PNGs carrying a tRNS
+    transparency chunk (libpng composites the transparency, cv2 returns raw
+    BGRA).  IHDR layout: sig(8) len(4) 'IHDR'(4) w(4) h(4) bitdepth(1)
+    colortype(1)."""
     if not data.startswith(_PNG_SIG) or len(data) < 26:
         return False
     bit_depth, color_type = data[24], data[25]
-    return bit_depth != 8 or color_type in (4, 6)
+    if bit_depth != 8 or color_type in (4, 6):
+        return True
+    if color_type == 3:
+        # walk the (pre-IDAT) chunk headers for tRNS; a substring search
+        # could false-positive inside compressed IDAT payloads
+        pos = 8
+        while pos + 8 <= len(data):
+            length = int.from_bytes(data[pos:pos + 4], "big")
+            ctype = data[pos + 4:pos + 8]
+            if ctype == b"tRNS":
+                return True
+            if ctype == b"IDAT" or ctype == b"IEND":
+                break
+            pos += 12 + length  # len + type + payload + crc
+    return False
 
 
 def decode(data: bytes, crop=None) -> np.ndarray:
@@ -144,8 +160,8 @@ def decode(data: bytes, crop=None) -> np.ndarray:
     lib = _load()
     assert lib is not None
     if _png_needs_cv2(data):
-        raise ValueError("16-bit or alpha PNG: native decode would differ "
-                         "from cv2; use the cv2 path")
+        raise ValueError("16-bit/alpha/palette-tRNS PNG: native decode would "
+                         "differ from cv2; use the cv2 path")
     W, H, _ = probe(data)
     trim = None
     if crop is None:

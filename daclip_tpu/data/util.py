@@ -121,28 +121,36 @@ def read_imgs_cropped(paths, size: int, rng) -> list:
     iMCU columns (~4× less decode work for 512²→256² crops); output is
     bit-identical to full-decode-then-crop.  Returns (imgs, (rnd_h, rnd_w))."""
     nio = _native_io()
+    datas = None
     if nio is not None and all(p.lower().endswith((".jpg", ".jpeg", ".png"))
                                for p in paths):
-        # cv2 fallback on ANY native failure (undecodable variant, 16-bit /
-        # alpha PNG, truncated file) — same contract as read_img
         try:
             datas = []
             for p in paths:
                 with open(p, "rb") as f:
                     datas.append(f.read())
             W, H, _ = nio.probe(datas[0])
-            rnd_h = rng.randint(0, max(0, H - size))
-            rnd_w = rng.randint(0, max(0, W - size))
-            crop = (rnd_w, rnd_h, min(size, W - rnd_w), min(size, H - rnd_h))
+        except (ValueError, OSError):
+            datas = None
+    if datas is None:
+        imgs = [read_img(None, p) for p in paths]
+        H, W = imgs[0].shape[:2]
+    # exactly ONE randint pair per call, drawn from the same (H, W), on every
+    # path — the RNG stream and crop windows are identical whether the native
+    # decoder is present, absent, or fails mid-decode
+    rnd_h = rng.randint(0, max(0, H - size))
+    rnd_w = rng.randint(0, max(0, W - size))
+    if datas is not None:
+        crop = (rnd_w, rnd_h, min(size, W - rnd_w), min(size, H - rnd_h))
+        try:
             imgs = [nio.decode(d, crop=crop).astype(np.float32) / 255.0
                     for d in datas]
             return imgs, (rnd_h, rnd_w)
         except (ValueError, OSError):
-            pass
-    imgs = [read_img(None, p) for p in paths]
-    H, W = imgs[0].shape[:2]
-    rnd_h = rng.randint(0, max(0, H - size))
-    rnd_w = rng.randint(0, max(0, W - size))
+            # cv2 fallback on ANY native failure (undecodable variant,
+            # 16-bit/alpha/palette-tRNS PNG, truncated file) — REUSES the
+            # already-drawn crop
+            imgs = [read_img(None, p) for p in paths]
     return ([im[rnd_h:rnd_h + size, rnd_w:rnd_w + size, :] for im in imgs],
             (rnd_h, rnd_w))
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from daclip_tpu import flags
+
 Dtype = Any
 
 
@@ -143,8 +145,6 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_emb: Optional[jnp.ndarray] = None, skip=None):
-        import os
-
         scale_shift = None
         if self.time_emb and time_emb is not None:
             h = nn.silu(time_emb)
@@ -167,8 +167,7 @@ class ResBlock(nn.Module):
         # 128 the conv is already full-width and the center-tap zeros would
         # add 80% real FLOPs — keep the separate dot there.
         merge = (need_res and skip is None  # concat path (default wiring)
-                 and 2 * self.dim_out <= 128
-                 and os.environ.get("DACLIP_TPU_MERGE_RES", "1") == "1")
+                 and 2 * self.dim_out <= 128 and flags.MERGE_RES)
         if merge:
             blk = Block(self.dim_out, dtype=self.dtype, name="block1")
             _ = blk(jnp.zeros((1, 3, 3, in_ch), x.dtype))
@@ -206,7 +205,7 @@ class ResBlock(nn.Module):
                                   name="res_conv")(x, skip)
             else:
                 res = x
-        bar = os.environ.get("DACLIP_TPU_BLOCK_BARRIER", "1")
+        bar = flags.BLOCK_BARRIER
         if bar != "0" and min(h.shape[1], h.shape[2]) >= int(bar):
             # stop XLA input-fusing block1's (scale+1)·x+shift → SiLU epilogue
             # into block2's 3×3 conv: input fusion recomputes the elementwise
@@ -265,8 +264,6 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, g_pre=None):
-        import os
-
         B, H, W, C = x.shape
         n = H * W
         hidden = self.heads * self.dim_head
@@ -296,16 +293,14 @@ class LinearAttention(nn.Module):
             # phase-0 output writes), v5 keeps single-visit writes and removes
             # the XLA-side LN reduces + residual copy_add (~3.3 ms per L0
             # call, profiled).  DACLIP_TPU_V5_WRAP=0 restores the v4 wiring.
-            if (g_pre is not None
-                    and os.environ.get("DACLIP_TPU_V5_WRAP", "1") == "1"):
+            if g_pre is not None and flags.V5_WRAP:
                 out = attn_wrap_fused_v5(
                     x.reshape(B, n, C).astype(self.dtype),
                     g_pre.astype(self.dtype), w_qkv.astype(self.dtype),
                     w_out.astype(self.dtype), b_out.astype(self.dtype),
                     g_out.astype(self.dtype))
                 return out.reshape(B, H, W, C).astype(x.dtype), True
-            if (g_pre is not None
-                    and os.environ.get("DACLIP_TPU_V3_WRAP", "0") == "1"):
+            if g_pre is not None and flags.V3_WRAP:
                 # v3 two-phase wrap: kept for reference, measured slower
                 out = attn_wrap_fused(
                     x.reshape(B, n, C).astype(self.dtype),
@@ -568,12 +563,11 @@ class ConditionalUNet(nn.Module):
                dtype=self.dtype, name="mid_attn")(x, context=image_context)
         x = RB(mid, dtype=self.dtype, name="mid_block2")(x, t)
 
-        import os
         # Concat-free skip convolutions are opt-in and MEASURED SLOWER end to
         # end (chained full-forward at B32/256²: 150.1 ms vs 121.8 ms): two
         # half-width convs lose more conv-emitter/MXU efficiency than the
         # skip-concat copy costs.  Mechanism kept for future emitters.
-        split_skip = os.environ.get("DACLIP_TPU_SPLIT_SKIP", "0") == "1"
+        split_skip = flags.SPLIT_SKIP
 
         def rb_with_skip(block, x, skip):
             # conv(concat(x, skip)), optionally concat-free (see Block.skip)
@@ -670,14 +664,11 @@ class TapDotConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.out_nc), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.out_nc,), jnp.float32)
-        tap = (self.dtype == jnp.bfloat16
-               and os.environ.get("DACLIP_TPU_TAP_FINAL", "1") == "1")
+        tap = self.dtype == jnp.bfloat16 and flags.TAP_FINAL
         if not tap:
             return _final_conv_plain(x, kernel, bias, self.dtype)
         return _final_conv(x, kernel, bias, self.dtype)
@@ -701,13 +692,10 @@ class Upsample2x(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         B, H, W, C = x.shape
         m = nn.Conv(self.dim_out, (3, 3), padding=1, use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")
-        poly = (self.dim_out < 128
-                and os.environ.get("DACLIP_TPU_POLY_UP", "1") == "1")
+        poly = self.dim_out < 128 and flags.POLY_UP
         if not poly:
             x = jnp.broadcast_to(x[:, :, None, :, None, :],
                                  (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)

@@ -100,7 +100,8 @@ def conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
 def conv3x3_supported(shape, features: int, tile_h: int = 32) -> bool:
     """Gate: opt-in via DACLIP_TPU_PALLAS_CONV=1 (see STATUS in the module
     docstring), TPU backend, dims aligned, VMEM fits."""
-    if os.environ.get("DACLIP_TPU_PALLAS_CONV") != "1":
+    from daclip_tpu import flags
+    if not flags.PALLAS_CONV:
         return False
     if jax.default_backend() == "cpu":
         return False

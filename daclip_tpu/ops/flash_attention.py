@@ -249,10 +249,10 @@ def flash_self_attention(q, k, v, heads, dim_head):
 
 
 def _use_pallas_bwd(B, N, HD, heads):
-    import os
+    from daclip_tpu import flags
 
     return (flash_bwd_supported(N, HD, heads, B)
-            and os.environ.get("DACLIP_TPU_FLASH_BWD", "1") == "1"
+            and flags.FLASH_BWD
             and jax.default_backend() != "cpu")
 
 

@@ -502,11 +502,10 @@ def attn_wrap_v5(x: jnp.ndarray, g_pre: jnp.ndarray, w_qkv: jnp.ndarray,
     (106.2 vs 106.0 ms B32/256²: the kernels are MXU-bound after the _ln_mxu
     fix, and packing trades lane occupancy for 2× matmul width at identical
     MXU time).  Default off."""
-    import os
+    from daclip_tpu import flags
 
     B, n, C = x.shape
-    P = 2 if (C == 64 and n % 2048 == 0
-              and os.environ.get("DACLIP_TPU_ATTN_PACK", "0") == "1") else 1
+    P = 2 if (C == 64 and n % 2048 == 0 and flags.ATTN_PACK) else 1
     nP, PC = n // P, P * C
     xp = x.reshape(B, nP, PC)
     chunk = 1024 if nP % 2048 else 2048
@@ -906,16 +905,15 @@ def attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
 
 
 def _wrap_v5_bwd(res, g):
-    import os
+    from daclip_tpu import flags
 
     x, g_pre, w_qkv, w_out, b_out, g_out, ctx, s, m = res
     B, n, C = x.shape
     if (n % 1024 == 0 and x.dtype == jnp.bfloat16
-            and jax.default_backend() != "cpu"
-            and os.environ.get("DACLIP_TPU_V5_PALLAS_BWD", "1") == "1"):
+            and jax.default_backend() != "cpu" and flags.V5_PALLAS_BWD):
         return attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
                                        ctx, s, m, g)
-    if os.environ.get("DACLIP_TPU_V5_MANUAL_BWD", "1") == "1":
+    if flags.V5_MANUAL_BWD:
         # recompute-inside-vjp stays off the peak the same way checkpoint did:
         # everything here is consumed within this backward segment
         return _wrap_v5_bwd_manual((x, g_pre, w_qkv, w_out, b_out, g_out), g)

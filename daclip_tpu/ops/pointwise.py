@@ -68,16 +68,15 @@ def pointwise_supported(x, skip=None, O: int = None) -> bool:
     Opt-in via `DACLIP_TPU_POINTWISE=1` (default off — loses e2e, see module
     docstring); `DACLIP_TPU_POINTWISE_MAXO=<n>` restricts to shallow levels
     (out features <= n) where the XLA conv-layout dot pathology lives."""
-    import os
-    if os.environ.get("DACLIP_TPU_POINTWISE", "0") != "1":
+    from daclip_tpu import flags
+    if not flags.POINTWISE:
         return False
     if jax.default_backend() == "cpu":
         return False
     B, H, W, Cx = x.shape
     Cin = Cx + (skip.shape[-1] if skip is not None else 0)
     if O is not None:
-        max_o = int(os.environ.get("DACLIP_TPU_POINTWISE_MAXO", str(1 << 30)))
-        if O > max_o:
+        if O > flags.POINTWISE_MAXO:
             return False
     if _pick_block(B * H * W, Cin, O or Cin) < 256:
         return False

@@ -139,10 +139,11 @@ def test_resblock_merged_res_conv_matches_separate(monkeypatch):
     t = jax.random.normal(jax.random.fold_in(key, 1), (2, 256), jnp.float32)
     rb = ResBlock(64, dtype=jnp.float32)
 
-    monkeypatch.setenv("DACLIP_TPU_MERGE_RES", "1")
+    from daclip_tpu import flags
+    monkeypatch.setattr(flags, "MERGE_RES", True)
     p1 = rb.init(jax.random.PRNGKey(7), x, t)
     y1 = rb.apply(p1, x, t)
-    monkeypatch.setenv("DACLIP_TPU_MERGE_RES", "0")
+    monkeypatch.setattr(flags, "MERGE_RES", False)
     p0 = rb.init(jax.random.PRNGKey(7), x, t)
     y0 = rb.apply(p0, x, t)
 

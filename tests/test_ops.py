@@ -53,8 +53,9 @@ def test_linear_attention_pallas_interpret():
 
 def test_conv3x3_supported_gate(monkeypatch):
     from daclip_tpu.ops import conv3x3_supported
-    assert not conv3x3_supported((1, 64, 64, 64), 64)  # opt-in env unset
-    monkeypatch.setenv("DACLIP_TPU_PALLAS_CONV", "1")
+    assert not conv3x3_supported((1, 64, 64, 64), 64)  # opt-in flag unset
+    from daclip_tpu import flags
+    monkeypatch.setattr(flags, "PALLAS_CONV", True)
     # cpu backend in tests -> still False
     assert not conv3x3_supported((1, 64, 64, 64), 64)
 
@@ -170,7 +171,8 @@ def test_attn_wrap_v5_interpret_matches_reference(monkeypatch, pack, C):
     from daclip_tpu.ops.linear_attention import (
         _attn_wrap_composition_reference, attn_wrap_v5)
 
-    monkeypatch.setenv("DACLIP_TPU_ATTN_PACK", pack)
+    from daclip_tpu import flags
+    monkeypatch.setattr(flags, "ATTN_PACK", pack == "1")
     key = jax.random.PRNGKey(11)
     B, n = 2, 2048
     ks = jax.random.split(key, 6)
