@@ -324,21 +324,34 @@ class DACLIPRestorer:
                 tiles.append(pt)
         bs = max(1, self.cfg.tile_batch)
         sharding = getattr(self, "_tile_sharding", None)
-        for s in range(0, len(tiles), bs):
-            chunk = tiles[s: s + bs]
-            n = len(chunk)
-            if n < bs:  # pad to the compiled batch shape (outputs discarded)
-                chunk = chunk + [chunk[-1]] * (bs - n)
+        s = 0
+        while s < len(tiles):
+            # power-of-two batch buckets descending from tile_batch: the
+            # remainder runs in the largest bucket that fits instead of being
+            # padded up to tile_batch (a 1024² image is 9 tiles — fixed-batch-8
+            # padding burned 7/16 slots, 43.8 s → 9/9 slots; BASELINE.md).
+            # ≤ log2(tile_batch)+1 distinct compiled shapes, zero padding.
+            # Sharded tile batches stay at full tile_batch (must stay divisible
+            # by the mesh axis).
+            n_left = len(tiles) - s
+            n = bs
+            if sharding is None:
+                while n > n_left:
+                    n //= 2
+            chunk = tiles[s: s + n]
+            if len(chunk) < n:  # sharded remainder: pad (outputs discarded)
+                chunk = chunk + [chunk[-1]] * (n - len(chunk))
             dev = jnp.asarray(np.stack(chunk), jnp.float32)
             if sharding is not None:
                 dev = jax.device_put(dev, sharding)
             out = np.asarray(self._sample(dev, jax.random.fold_in(key, s),
                                           degra_ctx, img_ctx))
-            for j in range(n):
+            for j in range(min(n, n_left)):
                 yi, xi, th, tw = coords[s + j]
                 w = win2d[:th, :tw]
                 acc[yi: yi + th, xi: xi + tw] += out[j, :th, :tw] * w
                 wacc[yi: yi + th, xi: xi + tw] += w
+            s += n
         return acc / np.maximum(wacc, 1e-8)
 
     def text_features(self, class_names) -> np.ndarray:

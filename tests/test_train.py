@@ -257,3 +257,63 @@ def test_clip_train_state_checkpoint_roundtrip(tmp_path):
     assert int(restored["epoch"]) == 3
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
                         restored["opt_state"], state.opt_state)
+
+
+def test_sharded_checkpoint_resume_different_mesh(tmp_path):
+    """fsdp-sharded orbax save on an 8-device (data4×fsdp2) mesh restores onto
+    a 4-device (data2×fsdp2) mesh and continues the EXACT optimization
+    trajectory — elastic resume: mesh shape is placement, not state."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from daclip_tpu.parallel import fsdp_param_shardings, make_mesh
+    from daclip_tpu.utils.checkpoint import (restore_checkpoint,
+                                             save_checkpoint)
+
+    net = _unet()
+    B, H, W = 8, 16, 16
+    lq0 = jnp.zeros((B, H, W, 3))
+    params = net.init(jax.random.PRNGKey(0), lq0, lq0, jnp.ones((B,)),
+                      jnp.zeros((B, 32)), jnp.zeros((B, 32)))
+    cfg = RestorationTrainConfig(niter=20, lr_G=1e-3)
+    sde = IRSDE(max_sigma=50, T=100)
+    train_step = make_train_step(net.apply, sde, cfg)
+
+    key = jax.random.PRNGKey(5)
+    gt = np.asarray(jax.random.uniform(key, (B, H, W, 3)))
+    host_batch = {"LQ": gt + 0.1, "GT": gt,
+                  "text_context": np.zeros((B, 32), np.float32),
+                  "image_context": np.zeros((B, 32), np.float32)}
+
+    def place(state, mesh):
+        repl = NamedSharding(mesh, P())
+        psh = fsdp_param_shardings(state.params, mesh, min_size=1024)
+        return state._replace(
+            params=jax.tree.map(jax.device_put, state.params, psh),
+            ema=jax.device_put(state.ema, repl),
+            opt_state=jax.device_put(state.opt_state, repl),
+            step=jax.device_put(state.step, repl))
+
+    def run(mesh, state, steps, start):
+        batch_sh = NamedSharding(mesh, P("data"))
+        losses = []
+        with mesh:
+            batch = {k: jax.device_put(jnp.asarray(v), batch_sh)
+                     for k, v in host_batch.items()}
+            stepf = jax.jit(train_step)
+            for i in range(start, start + steps):
+                state, m = stepf(state, batch, jax.random.fold_in(key, i))
+                losses.append(float(m["loss"]))
+        return state, losses
+
+    mesh8 = make_mesh(data=4, fsdp=2, devices=jax.devices()[:8])
+    state = place(init_state(params, cfg), mesh8)
+    state, _ = run(mesh8, state, 3, 0)
+    save_checkpoint(str(tmp_path / "ck"), 3, state)
+    _, ref_losses = run(mesh8, state, 3, 3)  # uninterrupted continuation
+
+    mesh4 = make_mesh(data=2, fsdp=2, devices=jax.devices()[:4])
+    target = place(init_state(params, cfg), mesh4)
+    restored = restore_checkpoint(str(tmp_path / "ck"), target=target)
+    _, got_losses = run(mesh4, restored, 3, 3)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-5)
