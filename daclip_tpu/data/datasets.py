@@ -96,7 +96,18 @@ class MDDataset:
 
 
 class MDGTDataset:
-    """GT-only folders + on-the-fly degradation synthesis (wild-ir training)."""
+    """GT-only folders + on-the-fly degradation synthesis (wild-ir training).
+
+    Synthesis cache (opt-in, NOT in the reference): `random_degrade` is a
+    serial numpy/cv2 pipeline — on synthesis-bound hosts it caps the loader
+    far below device-step speed (BASELINE.md input-pipeline table).  With
+    `lq_cache: N` the dataset keeps a bounded global pool of N synthesized
+    (GT, LQ) pairs: each fetch synthesizes fresh with probability
+    `lq_cache_refresh` (default 1/4, continuously turning the pool over) and
+    otherwise serves a random cached pair under a FRESH flip/rot draw (a
+    dihedral re-augmentation of a valid pair is a valid pair, so diversity
+    in orientation is preserved; crop/degradation diversity turns over at the
+    refresh rate).  Memory bound = N·2·patch²·3·4B (~1.5 MB/pair at 256²)."""
 
     def __init__(self, opt: Dict):
         self.opt = opt
@@ -104,32 +115,62 @@ class MDGTDataset:
         self.phase = opt.get("phase", "train")
         self.GT_paths = util.get_image_paths(opt.get("data_type"), opt["dataroot_GT"])
         self.rng = random.Random(opt.get("seed"))
+        self.lq_cache_size = int(opt.get("lq_cache", 0) or 0)
+        self.lq_cache_refresh = float(opt.get("lq_cache_refresh", 0.25))
+        self._lq_cache: List = []
 
     def __len__(self):
         return len(self.GT_paths)
 
-    def __getitem__(self, index: int) -> Dict:
+    def _synthesize(self, index: int):
         from daclip_tpu.data import degradations as deg_util
 
         GT_path = self.GT_paths[index]
-        if self.phase == "train":
-            # random crop at decode time (util.read_imgs_cropped); the color
-            # convert commutes with cropping so it moves after the read
-            (img_GT,), _ = util.read_imgs_cropped([GT_path], self.GT_size,
-                                                  self.rng)
-        else:
-            img_GT = util.read_img(None, GT_path)
+        # random crop at decode time (util.read_imgs_cropped); the color
+        # convert commutes with cropping so it moves after the read
+        (img_GT,), _ = util.read_imgs_cropped([GT_path], self.GT_size,
+                                              self.rng)
         if self.opt.get("color"):
             img_GT = util.channel_convert(img_GT.shape[2], self.opt["color"], [img_GT])[0]
-        if self.phase == "train":
-            img_GT = util.augment([img_GT], self.opt.get("use_flip", True),
-                                  self.opt.get("use_rot", True), rng=self.rng)[0]
-            if self.rng.random() < 0.1:  # MDGT_dataset.py:62-64
-                img_GT = util.channel_convert(img_GT.shape[2], "gray", [img_GT])[0]
-                img_GT = util.channel_convert(img_GT.shape[2],
-                                              self.opt.get("color", "RGB"),
-                                              [img_GT])[0]
+        img_GT = util.augment([img_GT], self.opt.get("use_flip", True),
+                              self.opt.get("use_rot", True), rng=self.rng)[0]
+        if self.rng.random() < 0.1:  # MDGT_dataset.py:62-64
+            img_GT = util.channel_convert(img_GT.shape[2], "gray", [img_GT])[0]
+            img_GT = util.channel_convert(img_GT.shape[2],
+                                          self.opt.get("color", "RGB"),
+                                          [img_GT])[0]
         img_LQ = deg_util.random_degrade(img_GT, rng=self.rng)
+        return img_GT, img_LQ, GT_path
+
+    def __getitem__(self, index: int) -> Dict:
+        if self.phase != "train":
+            img_GT = util.read_img(None, self.GT_paths[index])
+            if self.opt.get("color"):
+                img_GT = util.channel_convert(img_GT.shape[2],
+                                              self.opt["color"], [img_GT])[0]
+            from daclip_tpu.data import degradations as deg_util
+            img_LQ = deg_util.random_degrade(img_GT, rng=self.rng)
+            out = _finalize(img_GT, img_LQ, self.rng,
+                            self.opt.get("clip_size", 224))
+            out["GT_path"] = self.GT_paths[index]
+            return out
+
+        cache = self._lq_cache
+        if (self.lq_cache_size > 0 and len(cache) >= self.lq_cache_size
+                and self.rng.random() >= self.lq_cache_refresh):
+            # hit: fresh dihedral augmentation over a cached synthesized pair
+            img_GT, img_LQ, GT_path = cache[self.rng.randrange(len(cache))]
+            img_GT, img_LQ = util.augment(
+                [img_GT, img_LQ], self.opt.get("use_flip", True),
+                self.opt.get("use_rot", True), rng=self.rng)
+        else:
+            img_GT, img_LQ, GT_path = self._synthesize(index)
+            if self.lq_cache_size > 0:
+                entry = (img_GT, img_LQ, GT_path)
+                if len(cache) >= self.lq_cache_size:  # random replacement
+                    cache[self.rng.randrange(len(cache))] = entry
+                else:
+                    cache.append(entry)
         out = _finalize(img_GT, img_LQ, self.rng,
                         self.opt.get("clip_size", 224))
         out["GT_path"] = GT_path

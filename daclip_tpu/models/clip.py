@@ -226,8 +226,13 @@ class CLIP(nn.Module):
     def setup(self):
         v = self.cfg.vision
         if v.timm_model_name:  # model.py:100-111 timm dispatch
-            from daclip_tpu.models.timm_model import TimmModel
-            self.visual = TimmModel(v.timm_model_name)  # raises: torch-only dep
+            # convnext_* builds natively (models/convnext.py); other timm
+            # families raise with migration guidance (torch-only dep)
+            from daclip_tpu.models.convnext import build_timm_tower
+            self.visual = build_timm_tower(
+                v.timm_model_name, self.cfg.embed_dim, pool=v.timm_pool,
+                proj=v.timm_proj, drop=v.timm_drop,
+                drop_path=v.timm_drop_path, dtype=self.dtype)
         elif v.is_resnet:   # model.py:113-121: list layers → ModifiedResNet
             from daclip_tpu.models.resnet import ModifiedResNet
             self.visual = ModifiedResNet(
@@ -261,9 +266,14 @@ class CLIP(nn.Module):
     def encode_image(self, image, normalize: bool = False, control=None,
                      output_hiddens: bool = False, train: bool = False):
         # `train` enables PatchDropout in the ViT tower (needs a
-        # 'patch_dropout' rng); the ResNet tower has no train-time behavior.
-        kw = {"train": True} if (train and isinstance(self.visual,
-                                                      VisionTransformer)) else {}
+        # 'patch_dropout' rng) and stochastic depth in ConvNeXt towers (only
+        # when a 'drop_path' rng is supplied); ResNet has no train-time
+        # behavior.
+        kw = {}
+        if train:
+            from daclip_tpu.models.convnext import ConvNeXtTower
+            if isinstance(self.visual, (VisionTransformer, ConvNeXtTower)):
+                kw = {"train": True}
         out = self.visual(image, control=control, output_hiddens=output_hiddens,
                           **kw)
         if output_hiddens:

@@ -1,0 +1,162 @@
+"""Flax ConvNeXt vision tower — native TPU replacement for the timm convnext
+backbones the reference wraps via open_clip/timm_model.py:28-149.
+
+The shipped convnext_* model configs (assets/model_configs/convnext_*.json)
+request `timm_pool: ""` and `timm_proj: linear|mlp`: in the reference that
+means timm's default head pooling (global average → head LayerNorm) with the
+classifier removed, followed by the adapter's projection to embed_dim
+(timm_model.py:85-105).  This module reproduces exactly that head, on an NHWC
+layout so the 7×7 depthwise convs and 1×1 pointwise (as Dense) map onto the
+TPU conv/MXU emitters without transposes.
+
+Architecture per block (ConvNeXt, Liu et al. 2022 — matches timm):
+  depthwise 7×7 → LayerNorm → Dense 4·dim → GELU(erf) → Dense dim →
+  layer-scale gamma (init 1e-6) → stochastic-depth residual.
+Stem: 4×4/4 conv + LayerNorm; stage transitions: LayerNorm + 2×2/2 conv.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from daclip_tpu.models.layers import LayerNorm
+
+Dtype = Any
+
+# timm variant table: depths / dims for each convnext_* the configs name.
+VARIANTS = {
+    "convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+    "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048)),
+    "convnext_xxlarge": ((3, 4, 30, 3), (384, 768, 1536, 3072)),
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    drop_path: float = 0.0
+    ls_init: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        x = nn.Conv(self.dim, (7, 7), padding="SAME",
+                    feature_group_count=self.dim, dtype=self.dtype,
+                    name="dwconv")(x)
+        x = LayerNorm(name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        gamma = self.param("gamma", nn.initializers.constant(self.ls_init),
+                           (self.dim,), jnp.float32)
+        x = x * gamma.astype(x.dtype)
+        if train and self.drop_path > 0.0 and self.has_rng("drop_path"):
+            # stochastic depth: drop the whole residual branch per sample.
+            # Applied only when the caller supplies a 'drop_path' rng — the
+            # CLIP harness trains without one (no stochastic depth), matching
+            # how it gates patch_dropout behind an explicit rng.
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("drop_path")
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+            x = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        return shortcut + x
+
+
+class ConvNeXt(nn.Module):
+    """Trunk + timm-default head pooling (avg → LayerNorm), classifier removed."""
+    depths: Tuple[int, ...]
+    dims: Tuple[int, ...]
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        total = sum(self.depths)
+        rates = [self.drop_path_rate * i / max(total - 1, 1)
+                 for i in range(total)]  # linearly increasing, timm parity
+        bi = 0
+        for si, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if si == 0:
+                x = nn.Conv(dim, (4, 4), strides=(4, 4), dtype=self.dtype,
+                            name="stem_conv")(x)
+                x = LayerNorm(name="stem_norm")(x)
+            else:
+                x = LayerNorm(name=f"downsample_norm{si}")(x)
+                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                            name=f"downsample_conv{si}")(x)
+            for bj in range(depth):
+                x = ConvNeXtBlock(dim, drop_path=rates[bi], dtype=self.dtype,
+                                  name=f"stage{si}_block{bj}")(x, train=train)
+                bi += 1
+        x = jnp.mean(x, axis=(1, 2))           # global average pool
+        x = LayerNorm(name="head_norm")(x)     # timm head.norm survives
+        return x                               # reset_classifier(0): no fc
+
+
+class ConvNeXtTower(nn.Module):
+    """TimmModel-equivalent adapter: trunk → projection to embed_dim
+    (timm_model.py:85-105, proj='linear' or 'mlp', proj_bias=False)."""
+    model_name: str
+    embed_dim: int
+    proj: str = "linear"
+    drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, control=None, output_hiddens: bool = False,
+                 train: bool = False):
+        assert control is None and not output_hiddens, (
+            "ConvNeXt towers have no transformer hiddens; the DA-CLIP "
+            "controller requires a ViT vision tower")
+        depths, dims = VARIANTS[self.model_name]
+        x = ConvNeXt(depths, dims, drop_path_rate=self.drop_path,
+                     dtype=self.dtype, name="trunk")(x, train=train)
+        if self.proj == "linear":
+            if train and self.drop > 0.0 and self.has_rng("dropout"):
+                x = nn.Dropout(self.drop, deterministic=False)(x)
+            x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
+                         name="proj")(x)
+        elif self.proj == "mlp":
+            # timm Mlp(prev, 2*embed, embed, drop=(drop, 0), bias=(True, False))
+            x = nn.Dense(2 * self.embed_dim, dtype=self.dtype, name="mlp_fc1")(x)
+            x = nn.gelu(x, approximate=False)
+            if train and self.drop > 0.0 and self.has_rng("dropout"):
+                x = nn.Dropout(self.drop, deterministic=False)(x)
+            x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
+                         name="mlp_fc2")(x)
+        elif self.proj:
+            raise ValueError(f"unknown projection type {self.proj!r}")
+        return x
+
+
+def build_timm_tower(model_name: str, embed_dim: int, pool: str = "",
+                     proj: str = "linear", drop: float = 0.0,
+                     drop_path: Optional[float] = None,
+                     dtype: Dtype = jnp.float32) -> ConvNeXtTower:
+    """Factory for `vision_cfg.timm_model_name` towers.
+
+    convnext_* builds natively; every other timm family (EVA / swin / vit_*)
+    stays gated with migration guidance — they are torch-only and no shipped
+    DA-CLIP checkpoint uses them."""
+    if model_name in VARIANTS:
+        if pool not in ("", "avg"):
+            raise ValueError(
+                f"pool={pool!r} not supported for native convnext towers "
+                "(timm default avg pooling only; abs_attn/rot_attn are "
+                "torch-only timm layers)")
+        return ConvNeXtTower(model_name=model_name, embed_dim=embed_dim,
+                             proj=proj, drop=drop,
+                             drop_path=drop_path or 0.0, dtype=dtype)
+    raise ImportError(
+        f"timm tower {model_name!r} requested: only the convnext_* family has "
+        "a native flax implementation (models/convnext.py). EVA/swin/vit_* "
+        "timm backbones are torch-only and not available in the TPU runtime; "
+        "use a ViT config (models/clip.py registry), ModifiedResNet "
+        "(RN50/101), or contribute a flax backbone.")

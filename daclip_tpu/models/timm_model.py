@@ -1,27 +1,24 @@
 """timm vision-tower adapter (reference: open_clip/timm_model.py:28-149).
 
 The reference wraps arbitrary `timm` backbones as CLIP vision towers
-(`vision_cfg.timm_model_name`).  timm is torch-only and is not part of this
-TPU image; none of the DA-CLIP / IR checkpoints or configs use a timm tower
-(grep-verified: no `timm_model_name` in any shipped model_configs the
-pipelines load).  This adapter therefore GATES cleanly rather than silently
-mis-building: constructing it raises with migration guidance.
+(`vision_cfg.timm_model_name`).  timm is torch-only and not part of this TPU
+image, but the convnext_* family — the only timm family among the vendored
+model configs with a sane TPU mapping — is implemented natively in flax
+(models/convnext.py, NHWC depthwise/pointwise convs).  Everything else
+(EVA / swin / vit_* timm variants) gates cleanly with migration guidance.
 
-For users who need a non-ViT vision tower on TPU, the supported equivalents
-are the built-in `ModifiedResNet` (models/resnet.py, covers RN50/101
-checkpoints) or any flax backbone dropped in via `CLIP`'s visual attribute.
+This module is the compatibility entry point matching the reference's class
+name; `CLIP.setup` dispatches through `convnext.build_timm_tower` directly.
 """
 from __future__ import annotations
 
+from daclip_tpu.models.convnext import build_timm_tower
 
-class TimmModel:
-    """Raises on construction: timm backbones are torch-only."""
 
-    def __init__(self, model_name: str, *args, **kwargs):
-        raise ImportError(
-            f"timm tower {model_name!r} requested, but timm is a torch-only "
-            "dependency and is not available in the TPU runtime. Use a ViT "
-            "config (models/clip.py registry), ModifiedResNet (RN50/101), or "
-            "contribute a flax backbone. To convert a timm-towered open_clip "
-            "checkpoint, export its state_dict in torch and add a converter "
-            "in utils/torch_convert.py.")
+def TimmModel(model_name: str, embed_dim: int = 512, image_size: int = 224,
+              pool: str = "", proj: str = "linear", drop: float = 0.0,
+              drop_path=None, **_ignored):
+    """Reference-signature factory (timm_model.py:33-46): returns a flax
+    module for convnext_*, raises ImportError for torch-only families."""
+    return build_timm_tower(model_name, embed_dim, pool=pool, proj=proj,
+                            drop=drop, drop_path=drop_path)

@@ -31,9 +31,13 @@ def build_app(restorer):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--unet", required=True)
-    p.add_argument("--daclip", required=True)
+    p.add_argument("--unet", required=True,
+                   help="torch .pth, orbax train dir, or .npz")
+    p.add_argument("--daclip", required=True,
+                   help="torch .pt, orbax train dir, or .npz")
     p.add_argument("--wild-ir", action="store_true")
+    p.add_argument("--sample-T", type=int, default=-1,
+                   help="sampler steps (< T trades quality for latency)")
     p.add_argument("--port", type=int, default=7860)
     args = p.parse_args(argv)
 
@@ -45,11 +49,11 @@ def main(argv=None):
 
     from daclip_tpu.pipeline import DACLIPRestorer, RestorerConfig
 
-    cfg = RestorerConfig()
+    cfg = RestorerConfig(sample_T=args.sample_T)
     if args.wild_ir:
         cfg = RestorerConfig(model_name="daclip_ViT-L-14", context_dim=768,
-                             scale=0.5)
-    restorer = DACLIPRestorer.from_torch(args.unet, args.daclip, cfg)
+                             scale=0.5, sample_T=args.sample_T)
+    restorer = DACLIPRestorer.load(args.unet, args.daclip, cfg)
     build_app(restorer).launch(server_port=args.port)
 
 

@@ -17,12 +17,18 @@ class Predictor:
     def setup(self,
               unet_path: str = "pretrained/universal-ir.pth",
               daclip_path: str = "pretrained/daclip_ViT-B-32.pt",
-              sampling_mode: str = "posterior"):
-        """predict.py:34-56: build model + DA-CLIP + IR-SDE once."""
+              sampling_mode: str = "posterior",
+              sample_T: int = -1):
+        """predict.py:34-56: build model + DA-CLIP + IR-SDE once.
+
+        Paths may be torch checkpoints, orbax train dirs (ours), or .npz —
+        DACLIPRestorer.load dispatches.  sample_T < T trades restoration
+        steps for latency (e.g. T=50 halves sampling time; BASELINE.md)."""
         from daclip_tpu.pipeline import DACLIPRestorer, RestorerConfig
 
-        self.restorer = DACLIPRestorer.from_torch(
-            unet_path, daclip_path, RestorerConfig(sampling_mode=sampling_mode))
+        self.restorer = DACLIPRestorer.load(
+            unet_path, daclip_path,
+            RestorerConfig(sampling_mode=sampling_mode, sample_T=sample_T))
 
     def predict(self, image: str, seed: Optional[int] = None,
                 out_path: Optional[str] = None) -> str:

@@ -258,3 +258,33 @@ def test_cached_context_dataset(img_dirs):
     b = next(iter(dl))
     assert b["image_context"].shape == (3, 2) and "LQ_clip" not in b
     assert b["LQ"].shape == (3, 16, 16, 3)
+
+
+def test_mdgt_lq_cache(img_dirs):
+    """lq_cache bounds synthesis to the refresh rate: after the pool fills,
+    only ~refresh of fetches run random_degrade; cached pairs come back under
+    fresh flip/rot and stay valid (GT,LQ) shapes."""
+    from unittest import mock
+
+    from daclip_tpu.data import create_dataset, degradations as deg
+
+    ds = create_dataset({"mode": "MDGT", "phase": "train", "patch_size": 32,
+                         "dataroot_GT": os.path.join(img_dirs, "noisy", "GT"),
+                         "use_flip": True, "use_rot": True, "seed": 0,
+                         "lq_cache": 4, "lq_cache_refresh": 0.0})
+    calls = {"n": 0}
+    real = deg.random_degrade
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    with mock.patch.object(deg, "random_degrade", counting):
+        for i in range(20):
+            s = ds[i % 3]
+            assert s["GT"].shape == (32, 32, 3)
+            assert s["LQ"].shape == (32, 32, 3)
+            assert np.isfinite(s["LQ"]).all()
+    # pool fills with the first 4 fetches; refresh=0 → no further synthesis
+    assert calls["n"] == 4
+    assert len(ds._lq_cache) == 4

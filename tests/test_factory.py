@@ -171,8 +171,10 @@ def test_custom_text_clip_dispatch():
 
 
 def test_timm_and_hf_configs_gate():
+    # convnext_* builds natively now (models/convnext.py, test_convnext.py);
+    # the torch-only timm families still gate with migration guidance
     with pytest.raises(ImportError, match="timm"):
-        create_model("convnext_base")
+        create_model("EVA02-B-16")
     with pytest.raises(ImportError, match="HF text tower"):
         create_model("roberta-ViT-B-32")
 
