@@ -1,0 +1,155 @@
+"""Dev tool: per-op ROOFLINE accounting of the flagship UNet forward.
+
+For every device op above a time threshold, reads the profiler's own per-op
+counters (`flops`, `bytes_accessed`) and the device peaks
+(`peak_teraflops_per_second`, `peak_hbm_bw_gigabytes_per_second`) from the
+xplane and prints achieved vs bound:
+
+    bound_ms = max(flops / peak_flops, bytes / peak_hbm_bw)
+    headroom = actual_ms - bound_ms
+
+This converts "the forward is at a floor" from an inference-by-negative-
+results into an accounting: an op at ~100% of bound cannot be made faster on
+this chip without changing the math; the sum of headrooms is the theoretical
+remaining win.  Same chained-forward construction as tools/profile_forward
+(the only honest wallclock on the axon tunnel).
+
+  python -m tools.roofline [--batch 32] [--size 256] [--chain 10] [--min-ms 0.5]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import tempfile
+
+from tools.profile_forward import _load_xspace
+
+
+def roofline(trace_dir, chain, min_ms):
+    files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert files, f"no xplane.pb under {trace_dir}"
+    # name -> [ps, flops, bytes, count]
+    acc = collections.defaultdict(lambda: [0.0, 0.0, 0.0, 0])
+    cats = {}
+    peak_tf = peak_bw = None
+    for f in files:
+        xs = _load_xspace(f)
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "Device" not in plane.name:
+                continue
+            emeta = plane.event_metadata
+            smeta = plane.stat_metadata
+            for st in plane.stats:  # device-level peaks
+                nm = smeta[st.metadata_id].name
+                if nm == "peak_teraflops_per_second":
+                    peak_tf = st.double_value or st.uint64_value
+                elif nm == "peak_hbm_bw_gigabytes_per_second":
+                    peak_bw = st.double_value or st.uint64_value
+            for line in plane.lines:
+                for ev in line.events:
+                    md = emeta[ev.metadata_id]
+                    name = md.name
+                    if not name or name.startswith("jit_"):
+                        continue
+                    stats = {}
+                    for st in list(ev.stats) + list(md.stats):
+                        sm = smeta[st.metadata_id]
+                        stats[sm.name] = (st.str_value or st.int64_value
+                                          or st.uint64_value or st.double_value
+                                          or (st.ref_value
+                                              and smeta[st.ref_value].name))
+                    cat = str(stats.get("hlo_category", ""))
+                    if ("copy-start" in name or "async-start" in name
+                            or cat == "while"
+                            or name.startswith(("copy-start", "slice-start",
+                                                "while"))):
+                        continue
+                    a = acc[name]
+                    a[0] += ev.duration_ps
+                    a[1] += float(stats.get("flops", 0) or 0)
+                    a[2] += float(stats.get("bytes_accessed", 0) or 0)
+                    a[3] += 1
+                    cats[name] = cat
+    assert peak_tf and peak_bw, (peak_tf, peak_bw)
+    print(f"device peaks: {peak_tf:.0f} TF/s, {peak_bw:.0f} GB/s HBM")
+    hdr = (f"{'ms/fwd':>7} {'bound':>7} {'head':>6} {'%bnd':>5} "
+           f"{'GF/fwd':>8} {'GB/fwd':>7} {'TF/s':>6} {'GB/s':>6}  op")
+    print(hdr)
+    rows = []
+    for name, (ps, fl, by, n) in acc.items():
+        ms = ps / 1e12 * 1000 / chain
+        if ms < min_ms:
+            continue
+        fl, by = fl / chain, by / chain
+        t_flops = fl / (peak_tf * 1e12) * 1000   # ms at peak MXU
+        t_bytes = by / (peak_bw * 1e9) * 1000    # ms at peak HBM
+        bound = max(t_flops, t_bytes)
+        rows.append((ms, bound, fl, by, name))
+    rows.sort(key=lambda r: -r[0])
+    tot_ms = tot_bound = 0.0
+    for ms, bound, fl, by, name in rows:
+        label = name.split(" ", 1)[0].lstrip("%")
+        pct = 100.0 * bound / ms if ms else 0.0
+        tf = fl / (ms / 1000) / 1e12 if ms else 0.0
+        gbs = by / (ms / 1000) / 1e9 if ms else 0.0
+        tot_ms += ms
+        tot_bound += bound
+        print(f"{ms:7.3f} {bound:7.3f} {ms-bound:6.3f} {pct:5.0f} "
+              f"{fl/1e9:8.2f} {by/1e9:7.3f} {tf:6.1f} {gbs:6.0f}  "
+              f"{label[:44]:44s} [{cats.get(name, '')[:16]}]")
+    small = sum(a[0] for a in acc.values()) / 1e12 * 1000 / chain - tot_ms
+    print(f"{tot_ms:7.3f} {tot_bound:7.3f} {tot_ms-tot_bound:6.3f} "
+          f"{100*tot_bound/max(tot_ms,1e-9):5.0f}  TOTAL of rows above "
+          f"(+{small:.1f} ms in ops < {min_ms} ms)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--min-ms", type=float, default=0.5)
+    ap.add_argument("--trace-dir", default=None,
+                    help="reuse an existing trace instead of re-profiling")
+    args = ap.parse_args(argv)
+
+    if args.trace_dir:
+        roofline(args.trace_dir, args.chain, args.min_ms)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from daclip_tpu.models.unet import ConditionalUNet
+
+    B, S = args.batch, args.size
+    net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
+                          use_degra_context=True, use_image_context=True,
+                          dtype=jnp.bfloat16)
+    x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
+    ctx = jnp.zeros((B, 512), jnp.bfloat16)
+    params = jax.eval_shape(lambda k: net.init(k, x, x, 1.0, ctx, ctx),
+                            jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype), params)
+    tb = jnp.full((B,), 50.0)
+
+    @jax.jit
+    def chained(xt):
+        def body(_, h):
+            y = net.apply(params, h, x, tb, ctx, ctx)
+            return jnp.clip(y, -3, 3).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, args.chain, body, xt)
+
+    chained(x).block_until_ready()  # compile outside the trace
+    trace_dir = tempfile.mkdtemp(prefix="daclip_roofline_")
+    with jax.profiler.trace(trace_dir):
+        chained(x).block_until_ready()
+    print(f"trace: {trace_dir}")
+    roofline(trace_dir, args.chain, args.min_ms)
+
+
+if __name__ == "__main__":
+    main()
