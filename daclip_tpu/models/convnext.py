@@ -49,7 +49,7 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Conv(self.dim, (7, 7), padding="SAME",
                     feature_group_count=self.dim, dtype=self.dtype,
                     name="dwconv")(x)
-        x = LayerNorm(name="norm")(x)
+        x = LayerNorm(eps=1e-6, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
@@ -85,9 +85,9 @@ class ConvNeXt(nn.Module):
             if si == 0:
                 x = nn.Conv(dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                             name="stem_conv")(x)
-                x = LayerNorm(name="stem_norm")(x)
+                x = LayerNorm(eps=1e-6, name="stem_norm")(x)
             else:
-                x = LayerNorm(name=f"downsample_norm{si}")(x)
+                x = LayerNorm(eps=1e-6, name=f"downsample_norm{si}")(x)
                 x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                             name=f"downsample_conv{si}")(x)
             for bj in range(depth):
@@ -95,7 +95,7 @@ class ConvNeXt(nn.Module):
                                   name=f"stage{si}_block{bj}")(x, train=train)
                 bi += 1
         x = jnp.mean(x, axis=(1, 2))           # global average pool
-        x = LayerNorm(name="head_norm")(x)     # timm head.norm survives
+        x = LayerNorm(eps=1e-6, name="head_norm")(x)     # timm head.norm survives
         return x                               # reset_classifier(0): no fc
 
 

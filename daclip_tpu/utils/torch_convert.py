@@ -154,6 +154,59 @@ def convert_resnet_visual(sd: Dict[str, np.ndarray], prefix: str = "visual",
     return p
 
 
+def convert_convnext_visual(sd: Dict[str, np.ndarray],
+                            prefix: str = "visual") -> Dict:
+    """open_clip TimmModel-wrapped convnext tower → our flax tree
+    (models/convnext.py).  Keys follow timm's ConvNeXt with the classifier
+    removed (`{prefix}.trunk.*`) plus the adapter head
+    (`{prefix}.head.proj.weight` or `{prefix}.head.mlp.fc{1,2}.*`,
+    timm_model.py:85-105).  Accepts both timm block-MLP schemas
+    (`mlp.fc1/fc2` new, `pwconv1/pwconv2` facebook-style)."""
+    t = f"{prefix}.trunk"
+    ln = lambda key: {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+    trunk: Dict = {
+        "stem_conv": {"kernel": _conv(sd[f"{t}.stem.0.weight"]),
+                      "bias": sd[f"{t}.stem.0.bias"]},
+        "stem_norm": ln(f"{t}.stem.1"),
+        "head_norm": ln(f"{t}.head.norm"),
+    }
+    si = 0
+    while f"{t}.stages.{si}.blocks.0.gamma" in sd:
+        if si > 0:
+            trunk[f"downsample_norm{si}"] = ln(f"{t}.stages.{si}.downsample.0")
+            trunk[f"downsample_conv{si}"] = {
+                "kernel": _conv(sd[f"{t}.stages.{si}.downsample.1.weight"]),
+                "bias": sd[f"{t}.stages.{si}.downsample.1.bias"]}
+        bj = 0
+        while f"{t}.stages.{si}.blocks.{bj}.gamma" in sd:
+            b = f"{t}.stages.{si}.blocks.{bj}"
+            fc1 = f"{b}.mlp.fc1" if f"{b}.mlp.fc1.weight" in sd else f"{b}.pwconv1"
+            fc2 = f"{b}.mlp.fc2" if f"{b}.mlp.fc2.weight" in sd else f"{b}.pwconv2"
+            trunk[f"stage{si}_block{bj}"] = {
+                "dwconv": {"kernel": _conv(sd[f"{b}.conv_dw.weight"]
+                                           if f"{b}.conv_dw.weight" in sd
+                                           else sd[f"{b}.dwconv.weight"]),
+                           "bias": sd.get(f"{b}.conv_dw.bias",
+                                          sd.get(f"{b}.dwconv.bias"))},
+                "norm": ln(f"{b}.norm"),
+                "pwconv1": {"kernel": _t(sd[f"{fc1}.weight"]),
+                            "bias": sd[f"{fc1}.bias"]},
+                "pwconv2": {"kernel": _t(sd[f"{fc2}.weight"]),
+                            "bias": sd[f"{fc2}.bias"]},
+                "gamma": sd[f"{b}.gamma"],
+            }
+            bj += 1
+        si += 1
+    out: Dict = {"trunk": trunk}
+    if f"{prefix}.head.proj.weight" in sd:         # proj='linear', no bias
+        out["proj"] = {"kernel": _t(sd[f"{prefix}.head.proj.weight"])}
+    elif f"{prefix}.head.mlp.fc1.weight" in sd:    # proj='mlp'
+        out["mlp_fc1"] = {"kernel": _t(sd[f"{prefix}.head.mlp.fc1.weight"]),
+                          "bias": sd[f"{prefix}.head.mlp.fc1.bias"]}
+        out["mlp_fc2"] = {"kernel": _t(sd[f"{prefix}.head.mlp.fc2.weight"])}
+    return out
+
+
 def resize_pos_embed(visual_params: Dict, image_size: int, patch_size: int,
                      method: str = "cubic", antialias: bool = True) -> Dict:
     """Rescale the ViT position-embedding grid when loading a checkpoint trained
@@ -197,7 +250,9 @@ def convert_clip(sd: Dict[str, np.ndarray], image_size: Optional[int] = None,
     Handles both ViT and ModifiedResNet (RN50/101) vision towers.  When
     image_size/patch_size are given and the target grid differs from the
     checkpoint's, the ViT pos-embed is interpolated (model.py:451-483)."""
-    if any(k.startswith("visual.layer1.") for k in sd):
+    if any(k.startswith("visual.trunk.") for k in sd):
+        visual = convert_convnext_visual(sd, "visual")
+    elif any(k.startswith("visual.layer1.") for k in sd):
         stages = tuple(
             len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
             for b in range(1, 5))
