@@ -718,11 +718,10 @@ def _ones_bd_heads():
     return (d == e).astype(jnp.float32)
 
 
-def _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref,
-                     bout_ref, gout_ref, C):
-    """Shared chunk-local recompute: forward pieces through y's LN plus the
-    upstream-through-postnorm cotangent dy.  Returns what both backward
-    kernels need."""
+def _recompute_x_side(x_ref, gpre_ref, wq_ref, C):
+    """Chunk-local recompute of the input-side forward pieces (prenorm LN,
+    gained rows, query softmax) — everything the backward needs that does NOT
+    go through the postnorm."""
     norm_x, r_x = _ln_parts(x_ref[0].astype(jnp.float32), C)
     xn = (norm_x * gpre_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
     q = jax.lax.dot_general(xn, wq_ref[:], (((1,), (0,)), ((), ())),
@@ -734,6 +733,16 @@ def _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref,
                                 preferred_element_type=jnp.float32)
     q_soft = q_exp / denom
     q_soft_b = q_soft.astype(jnp.bfloat16)
+    return norm_x, r_x, xn, q_soft, q_soft_b, ones_bd
+
+
+def _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref,
+                     bout_ref, gout_ref, C):
+    """Shared chunk-local recompute: forward pieces through y's LN plus the
+    upstream-through-postnorm cotangent dy.  Returns what both backward
+    kernels need."""
+    norm_x, r_x, xn, q_soft, q_soft_b, ones_bd = _recompute_x_side(
+        x_ref, gpre_ref, wq_ref, C)
     attn_b = jax.lax.dot_general(
         q_soft_b, w_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -752,11 +761,15 @@ def _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref,
 
 
 def _kernel_bwd1_v5(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
-                    gout_ref, dW_ref, dwout_ref, dgout_ref, dbout_ref, *, C):
+                    gout_ref, dW_ref, dwout_ref, dgout_ref, dbout_ref,
+                    dy_ref=None, *, C):
     """Backward pass 1: accumulate the per-batch dW = q_softᵀ·dattn (needed
     globally before dk/dv exist) plus the w_out/b_out/g_out cotangent
     partials.  Grid (B, nchunks); accumulator outputs indexed by b only stay
-    resident in VMEM across the chunk loop."""
+    resident in VMEM across the chunk loop.  With a fifth output (dy_ref,
+    flags.V5_DY_SPILL) the chunk's dy_b is spilled so pass 2 can skip the
+    postnorm recompute — bit-identical, since pass 2 consumes dy only via
+    this bf16 cast."""
     c = pl.program_id(1)
     (norm_x, r_x, xn, q_soft, q_soft_b, attn_b, norm_y, gf, dy, dy_b,
      dattn, ones_bd) = _recompute_to_dy(x_ref, g_ref, gpre_ref, wq_ref,
@@ -769,6 +782,8 @@ def _kernel_bwd1_v5(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
                                   preferred_element_type=jnp.float32)
     dgout_c = jnp.sum(gf * norm_y, axis=0, keepdims=True)
     dbout_c = jnp.sum(dy, axis=0, keepdims=True)
+    if dy_ref is not None:
+        dy_ref[0] = dy_b
 
     @pl.when(c == 0)
     def _init():
@@ -785,17 +800,13 @@ def _kernel_bwd1_v5(x_ref, g_ref, gpre_ref, wq_ref, w_ref, wout_ref, bout_ref,
         dbout_ref[0] += dbout_c
 
 
-def _kernel_bwd2_v5(x_ref, g_ref, gpre_ref, wqkv_ref, w_ref, wout_ref,
-                    bout_ref, gout_ref, dctx_ref, ds_ref, m_ref,
-                    dx_ref, dwqkv_ref, dgpre_ref, *, C):
-    """Backward pass 2: with the global dctx/ds known, produce dx (residual +
-    prenorm-LN backward of dxn) and accumulate dW_qkv / dg_pre."""
+def _bwd2_tail(gpre_ref, wqkv_ref, w_ref, dctx_ref, ds_ref, m_ref,
+               dx_ref, dwqkv_ref, dgpre_ref,
+               norm_x, r_x, xn, q_soft, gf, dattn, ones_bd, C):
+    """Shared tail of backward pass 2: with the global dctx/ds known, produce
+    dx (residual + prenorm-LN backward of dxn) and accumulate
+    dW_qkv / dg_pre."""
     c = pl.program_id(1)
-    wq = wqkv_ref[:, :HID]
-    (norm_x, r_x, xn, q_soft, q_soft_b, attn_b, norm_y, gf, dy, dy_b,
-     dattn, ones_bd) = _recompute_to_dy(x_ref, g_ref, gpre_ref, wq,
-                                        w_ref, wout_ref, bout_ref, gout_ref,
-                                        C)
     kv = jax.lax.dot_general(xn, wqkv_ref[:, HID:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     k, v = kv[:, :HID], kv[:, HID:]
@@ -837,9 +848,43 @@ def _kernel_bwd2_v5(x_ref, g_ref, gpre_ref, wqkv_ref, w_ref, wout_ref,
         dgpre_ref[0] += dgpre_c
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_bwd2_v5(x_ref, g_ref, gpre_ref, wqkv_ref, w_ref, wout_ref,
+                    bout_ref, gout_ref, dctx_ref, ds_ref, m_ref,
+                    dx_ref, dwqkv_ref, dgpre_ref, *, C):
+    """Backward pass 2 (self-contained recompute variant)."""
+    wq = wqkv_ref[:, :HID]
+    (norm_x, r_x, xn, q_soft, q_soft_b, attn_b, norm_y, gf, dy, dy_b,
+     dattn, ones_bd) = _recompute_to_dy(x_ref, g_ref, gpre_ref, wq,
+                                        w_ref, wout_ref, bout_ref, gout_ref,
+                                        C)
+    _bwd2_tail(gpre_ref, wqkv_ref, w_ref, dctx_ref, ds_ref, m_ref,
+               dx_ref, dwqkv_ref, dgpre_ref,
+               norm_x, r_x, xn, q_soft, gf, dattn, ones_bd, C)
+
+
+def _kernel_bwd2_v5_dy(x_ref, g_ref, gpre_ref, wqkv_ref, w_ref, wout_ref,
+                       dctx_ref, ds_ref, m_ref, dy_ref,
+                       dx_ref, dwqkv_ref, dgpre_ref, *, C):
+    """Backward pass 2, dy-spill variant: pass 1 already spilled dy_b, so the
+    postnorm-side recompute (attn·W, y, postnorm LN forward+backward — the
+    self-contained variant's largest dots) is skipped and only the input side
+    is rebuilt.  Bit-identical to _kernel_bwd2_v5: that kernel consumes dy
+    only through the same bf16 cast."""
+    wq = wqkv_ref[:, :HID]
+    norm_x, r_x, xn, q_soft, q_soft_b, ones_bd = _recompute_x_side(
+        x_ref, gpre_ref, wq, C)
+    gf = g_ref[0].astype(jnp.float32)
+    dattn = jax.lax.dot_general(dy_ref[0], wout_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    _bwd2_tail(gpre_ref, wqkv_ref, w_ref, dctx_ref, ds_ref, m_ref,
+               dx_ref, dwqkv_ref, dgpre_ref,
+               norm_x, r_x, xn, q_soft, gf, dattn, ones_bd, C)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "spill_dy"))
 def attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
-                            ctx, s, m, g, interpret: bool = False):
+                            ctx, s, m, g, interpret: bool = False,
+                            spill_dy: bool = False):
     """Pallas two-pass VJP of the v5 wrap (same math as _wrap_v5_bwd_manual,
     see its derivation).  Every n-sized intermediate stays chunk-local in
     VMEM — the manual XLA backward is HBM-bound on its (B,n,HID) f32
@@ -863,38 +908,60 @@ def attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
     bspec = lambda shape: pl.BlockSpec(shape, lambda b, c: (b, 0, 0),
                                        memory_space=pltpu.VMEM)
 
-    dW, dwout_p, dgout_p, dbout_p = pl.pallas_call(
+    out1_specs = [bspec((1, HID, HID)), bspec((1, HID, C)),
+                  bspec((1, 1, C)), bspec((1, 1, C))]
+    out1_shape = [jax.ShapeDtypeStruct((B, HID, HID), jnp.float32),
+                  jax.ShapeDtypeStruct((B, HID, C), jnp.float32),
+                  jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+                  jax.ShapeDtypeStruct((B, 1, C), jnp.float32)]
+    if spill_dy:
+        out1_specs.append(xspec)
+        out1_shape.append(jax.ShapeDtypeStruct((B, n, C), jnp.bfloat16))
+    out1 = pl.pallas_call(
         functools.partial(_kernel_bwd1_v5, C=C),
         grid=(B, nchunks),
         in_specs=[xspec, xspec, cspec((1, C)), cspec((C, HID)),
                   bspec((1, HID, HID)), cspec((HID, C)), cspec((1, C)),
                   cspec((1, C))],
-        out_specs=[bspec((1, HID, HID)), bspec((1, HID, C)),
-                   bspec((1, 1, C)), bspec((1, 1, C))],
-        out_shape=[jax.ShapeDtypeStruct((B, HID, HID), jnp.float32),
-                   jax.ShapeDtypeStruct((B, HID, C), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
+        out_specs=out1_specs,
+        out_shape=out1_shape,
         interpret=interpret,
     )(x, g, gpre2, w_qkv[:, :HID], w, w_out, bout2, gout2)
+    dW, dwout_p, dgout_p, dbout_p = out1[:4]
 
     dctx = dW * mask * rowscale                          # (B, HID, HID) f32
     ds = -(jnp.sum(dctx * ctx, axis=2) / s.reshape(B, HID)).reshape(B, 1, HID)
 
-    dx, dwqkv_p, dgpre_p = pl.pallas_call(
-        functools.partial(_kernel_bwd2_v5, C=C),
-        grid=(B, nchunks),
-        in_specs=[xspec, xspec, cspec((1, C)), cspec((C, 3 * HID)),
-                  bspec((1, HID, HID)), cspec((HID, C)), cspec((1, C)),
-                  cspec((1, C)), bspec((1, HID, HID)), bspec((1, 1, HID)),
-                  bspec((1, 1, HID))],
-        out_specs=[xspec, bspec((1, C, 3 * HID)), bspec((1, 1, C))],
-        out_shape=[jax.ShapeDtypeStruct((B, n, C), x.dtype),
-                   jax.ShapeDtypeStruct((B, C, 3 * HID), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
-        interpret=interpret,
-    )(x, g, gpre2, w_qkv, w, w_out, bout2, gout2,
-      dctx.astype(jnp.bfloat16), ds, m)
+    if spill_dy:
+        dx, dwqkv_p, dgpre_p = pl.pallas_call(
+            functools.partial(_kernel_bwd2_v5_dy, C=C),
+            grid=(B, nchunks),
+            in_specs=[xspec, xspec, cspec((1, C)), cspec((C, 3 * HID)),
+                      bspec((1, HID, HID)), cspec((HID, C)),
+                      bspec((1, HID, HID)), bspec((1, 1, HID)),
+                      bspec((1, 1, HID)), xspec],
+            out_specs=[xspec, bspec((1, C, 3 * HID)), bspec((1, 1, C))],
+            out_shape=[jax.ShapeDtypeStruct((B, n, C), x.dtype),
+                       jax.ShapeDtypeStruct((B, C, 3 * HID), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
+            interpret=interpret,
+        )(x, g, gpre2, w_qkv, w, w_out,
+          dctx.astype(jnp.bfloat16), ds, m, out1[4])
+    else:
+        dx, dwqkv_p, dgpre_p = pl.pallas_call(
+            functools.partial(_kernel_bwd2_v5, C=C),
+            grid=(B, nchunks),
+            in_specs=[xspec, xspec, cspec((1, C)), cspec((C, 3 * HID)),
+                      bspec((1, HID, HID)), cspec((HID, C)), cspec((1, C)),
+                      cspec((1, C)), bspec((1, HID, HID)), bspec((1, 1, HID)),
+                      bspec((1, 1, HID))],
+            out_specs=[xspec, bspec((1, C, 3 * HID)), bspec((1, 1, C))],
+            out_shape=[jax.ShapeDtypeStruct((B, n, C), x.dtype),
+                       jax.ShapeDtypeStruct((B, C, 3 * HID), jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, C), jnp.float32)],
+            interpret=interpret,
+        )(x, g, gpre2, w_qkv, w, w_out, bout2, gout2,
+          dctx.astype(jnp.bfloat16), ds, m)
 
     return (dx,
             jnp.sum(dgpre_p, axis=0).reshape(C).astype(g_pre.dtype),
@@ -912,7 +979,8 @@ def _wrap_v5_bwd(res, g):
     if (n % 1024 == 0 and x.dtype == jnp.bfloat16
             and jax.default_backend() != "cpu" and flags.V5_PALLAS_BWD):
         return attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
-                                       ctx, s, m, g)
+                                       ctx, s, m, g,
+                                       spill_dy=flags.V5_DY_SPILL)
     if flags.V5_MANUAL_BWD:
         # recompute-inside-vjp stays off the peak the same way checkpoint did:
         # everything here is consumed within this backward segment

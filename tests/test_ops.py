@@ -212,10 +212,12 @@ def test_attn_wrap_v5_manual_bwd_exact_in_f32():
                                    np.asarray(b) / scale, atol=2e-5)
 
 
+@pytest.mark.parametrize("spill_dy", [False, True])
 @pytest.mark.parametrize("C", [64, 128, 256])
-def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual(C):
+def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual(C, spill_dy):
     """Two-pass pallas VJP (interpret) == hand-derived manual backward, at
-    every channel width the production UNet runs it (L0 64, L1 128, L2 256)."""
+    every channel width the production UNet runs it (L0 64, L1 128, L2 256),
+    in both the self-contained-recompute and dy-spill pass-2 variants."""
     import numpy as np
 
     from daclip_tpu.ops import linear_attention as la
@@ -229,8 +231,16 @@ def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual(C):
             rnd(4, (C,), 0.1), rnd(5, (C,)) * 0.2 + 1.0)
     g = rnd(6, (B, n, C))
     _, ctx, s, m = la.attn_wrap_v5(*args, interpret=True, with_stats=True)
-    got = la.attn_wrap_v5_bwd_pallas(*args, ctx, s, m, g, interpret=True)
+    got = la.attn_wrap_v5_bwd_pallas(*args, ctx, s, m, g, interpret=True,
+                                     spill_dy=spill_dy)
     want = la._wrap_v5_bwd_manual(args, g)
+    if spill_dy:
+        # the spill variant must be BIT-identical to the self-contained one
+        # (pass 2 consumes dy only through the same bf16 cast)
+        base = la.attn_wrap_v5_bwd_pallas(*args, ctx, s, m, g, interpret=True,
+                                          spill_dy=False)
+        for a, b in zip(got, base):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # the kernel rounds matmul operands to bf16 (production dtype) even on
     # f32 inputs; weight-grad chunk sums differ at bf16 rounding level
     for a, b in zip(got, want):
