@@ -14,6 +14,8 @@ measurement.  Target from BASELINE.json: >=5x that A100 estimate.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -26,7 +28,34 @@ A100_PEAK_FP16 = 312e12
 A100_ASSUMED_MFU = 0.25
 
 
+def _wait_for_device(max_wait_s: float = 1800.0):
+    """Block until the TPU backend initializes, surviving transient tunnel
+    outages (observed: backend init hanging ~10 min then UNAVAILABLE).  The
+    probe runs in a subprocess so a failed init is never cached in THIS
+    process's jax backend state."""
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable after {max_wait_s:.0f}s "
+                f"({attempt} probe attempts)")
+        print(f"# device probe {attempt} failed; retrying in 60s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_device()
     from daclip_tpu.models.unet import ConditionalUNet
     from daclip_tpu.sde import IRSDE
 
@@ -62,13 +91,18 @@ def main():
     flops_per_image = flops_fwd / BATCH * STEPS
 
     key = jax.random.PRNGKey(1)
-    restore(lq, key).block_until_ready()  # compile
+    # warmup/compile; a host read (not a bare block_until_ready, which can
+    # return early on the axon tunnel) guarantees it finished
+    float(jnp.sum(restore(lq, key)))
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = restore(lq, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        out = restore(lq, jax.random.fold_in(key, i + 1))
+    # end the timed window with a host-side checksum — the only wait that is
+    # honest on this tunnel (see CLAUDE.md timing notes)
+    checksum = float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / n_iters
+    del checksum
 
     ips = BATCH / dt
     p50_latency_ms = dt / BATCH * 1000.0
