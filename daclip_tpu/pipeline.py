@@ -44,6 +44,23 @@ def _bucketize(x: int, buckets) -> int:
     return int(math.ceil(x / buckets[0]) * buckets[0])
 
 
+def _adaptive_tile_axis(D: int, ts_max: int, ov: int, step: int):
+    """Minimum-count, then minimum-size, tile grid covering one axis.
+
+    Returns evenly spaced positions and a single tile size t ≤ ts_max
+    (a multiple of `step`) such that the tiles cover D with ≥ ov overlap.
+    E.g. D=1024, ts_max=512, ov=64 → 3 tiles of **384** (1.27× pixel
+    coverage) where the fixed-size grid sampled 3 tiles of 512 (2.25×):
+    same tile count, ~44% less sampler compute for the same output.
+    """
+    if D <= ts_max:
+        return [0], int(math.ceil(D / step) * step)
+    n = int(math.ceil((D - ov) / (ts_max - ov)))
+    t = int(math.ceil(max((D + (n - 1) * ov) / n, 2 * ov) / step) * step)
+    t = min(t, ts_max)
+    return [int(round(i * (D - t) / (n - 1))) for i in range(n)], t
+
+
 @dataclasses.dataclass
 class RestorerConfig:
     model_name: str = "daclip_ViT-B-32"
@@ -298,28 +315,29 @@ class DACLIPRestorer:
         the batch is sharded over a mesh when `shard_tiles` was called."""
         H, W = image_rgb.shape[:2]
         ts, ov = self.cfg.tile_size, self.cfg.tile_overlap
-        stride = ts - ov
         acc = np.zeros((H, W, 3), np.float64)
         wacc = np.zeros((H, W, 1), np.float64)
+        # Minimum-count/minimum-size grid per axis: tile size adapts DOWN to
+        # what the evenly spaced minimum tile count actually needs, instead of
+        # always sampling ts-sized tiles (the fixed grid covered a 1024² input
+        # 2.25× over; this grid covers it 1.27× — measured 27.6 → 10.6 s at
+        # T=100 on-chip, BASELINE.md round 3).
+        ys, tsh = _adaptive_tile_axis(H, ts, ov, self.cfg.buckets_step)
+        xs, tsw = _adaptive_tile_axis(W, ts, ov, self.cfg.buckets_step)
         if ov > 0:
-            ramp = np.minimum(np.arange(1, ts + 1), ov) / ov
-            win2d = np.minimum.outer(np.minimum(ramp, ramp[::-1]),
-                                     np.minimum(ramp, ramp[::-1]))[..., None]
+            rh = np.minimum(np.arange(1, tsh + 1), ov) / ov
+            rw = np.minimum(np.arange(1, tsw + 1), ov) / ov
+            win2d = np.minimum.outer(np.minimum(rh, rh[::-1]),
+                                     np.minimum(rw, rw[::-1]))[..., None]
         else:  # tile_overlap=0: hard tile edges, uniform weights (no 0/0 NaN)
-            win2d = np.ones((ts, ts, 1))
-        ys = list(range(0, max(H - ts, 0) + 1, stride)) or [0]
-        xs = list(range(0, max(W - ts, 0) + 1, stride)) or [0]
-        if ys[-1] + ts < H:
-            ys.append(H - ts)
-        if xs[-1] + ts < W:
-            xs.append(W - ts)
+            win2d = np.ones((tsh, tsw, 1))
         coords, tiles = [], []
         for yi in ys:
             for xi in xs:
-                tile = image_rgb[yi: yi + ts, xi: xi + ts]
+                tile = image_rgb[yi: yi + tsh, xi: xi + tsw]
                 th, tw = tile.shape[:2]
-                pt = np.pad(tile, ((0, ts - th), (0, ts - tw), (0, 0)),
-                            mode="reflect") if (th < ts or tw < ts) else tile
+                pt = np.pad(tile, ((0, tsh - th), (0, tsw - tw), (0, 0)),
+                            mode="reflect") if (th < tsh or tw < tsw) else tile
                 coords.append((yi, xi, th, tw))
                 tiles.append(pt)
         bs = max(1, self.cfg.tile_batch)

@@ -98,6 +98,29 @@ def test_restore_tiled_sharded_matches_unsharded(tiny_restorer):
     np.testing.assert_allclose(a, b, atol=2e-3)
 
 
+def test_adaptive_tile_axis_invariants():
+    """The adaptive grid always (a) covers the axis, (b) keeps ≥ overlap
+    between neighbours, (c) uses the MINIMUM tile count a ts_max-sized grid
+    could achieve, and (d) shrinks tiles to the smallest step multiple that
+    count allows — e.g. 1024/ts512/ov64 is 3×384, not 3×512 (the serving-
+    latency lever measured in BASELINE.md)."""
+    from daclip_tpu.pipeline import _adaptive_tile_axis
+    import math
+
+    assert _adaptive_tile_axis(1024, 512, 64, 64) == ([0, 320, 640], 384)
+    for D in [65, 100, 128, 150, 208, 300, 511, 513, 640, 1000, 1024, 2048]:
+        for ts, ov, step in [(512, 64, 64), (64, 16, 16), (256, 32, 64)]:
+            pos, t = _adaptive_tile_axis(D, ts, ov, step)
+            assert t <= max(ts, step) and t % step == 0
+            if D > ts:
+                assert pos[0] == 0 and pos[-1] == D - t  # exact coverage
+                for a, b in zip(pos, pos[1:]):
+                    assert b - a <= t - ov + 1  # ≥ ov overlap (±rounding)
+                assert len(pos) == math.ceil((D - ov) / (ts - ov))  # minimal
+            else:
+                assert pos == [0] and t >= D
+
+
 def test_restore_tiled_batch_buckets(tiny_restorer):
     """Partial tile batches run in descending power-of-two buckets with ZERO
     padded slots (the 1024²/9-tile case burned 7/16 slots before): 150×100 at
