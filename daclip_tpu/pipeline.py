@@ -44,20 +44,37 @@ def _bucketize(x: int, buckets) -> int:
     return int(math.ceil(x / buckets[0]) * buckets[0])
 
 
-def _adaptive_tile_axis(D: int, ts_max: int, ov: int, step: int):
+def _adaptive_tile_axis(D: int, ts_max: int, ov: int, step: int, sizes=None):
     """Minimum-count, then minimum-size, tile grid covering one axis.
 
     Returns evenly spaced positions and a single tile size t ≤ ts_max
     (a multiple of `step`) such that the tiles cover D with ≥ ov overlap.
     E.g. D=1024, ts_max=512, ov=64 → 3 tiles of **384** (1.27× pixel
     coverage) where the fixed-size grid sampled 3 tiles of 512 (2.25×):
-    same tile count, ~44% less sampler compute for the same output.
+    same tile count, ~44% less sampler compute with the same blend
+    geometry (tile count, coverage, feathered overlap — tiles DO see
+    less spatial context; measured PSNR delta in BASELINE.md round 4).
+
+    `sizes`: optional ascending tile-size bucket set — t snaps UP to the
+    smallest member ≥ t, bounding the number of distinct compiled sampler
+    shapes when serving mixed resolutions (each (tsh, tsw) pair is its
+    own ~minutes-long compile on the remote TPU service).
     """
+    if ts_max >= step:
+        # floor to a step multiple so the returned t (capped at ts_max
+        # below) always honors the "multiple of step" contract; n computed
+        # from the floored max still guarantees the needed t fits under it
+        ts_max -= ts_max % step
     if D <= ts_max:
         return [0], int(math.ceil(D / step) * step)
     n = int(math.ceil((D - ov) / (ts_max - ov)))
     t = int(math.ceil(max((D + (n - 1) * ov) / n, 2 * ov) / step) * step)
     t = min(t, ts_max)
+    if sizes:
+        for s in sorted(sizes):
+            if t <= s <= ts_max:
+                t = int(s)
+                break
     return [int(round(i * (D - t) / (n - 1))) for i in range(n)], t
 
 
@@ -85,6 +102,10 @@ class RestorerConfig:
     tile_size: int = 512                  # tiled sampling threshold/size
     tile_overlap: int = 64
     tile_batch: int = 8                   # tiles sampled per device program
+    # adaptive tile sizes snap UP to this set (bounds distinct compiled
+    # sampler shapes under mixed-resolution serving); None → derived as
+    # step-floored {tile_size/2, 3·tile_size/4, tile_size}, e.g. {256,384,512}
+    tile_size_buckets: Optional[Tuple[int, ...]] = None
 
 
 class DACLIPRestorer:
@@ -322,8 +343,13 @@ class DACLIPRestorer:
         # always sampling ts-sized tiles (the fixed grid covered a 1024² input
         # 2.25× over; this grid covers it 1.27× — measured 27.6 → 10.6 s at
         # T=100 on-chip, BASELINE.md round 3).
-        ys, tsh = _adaptive_tile_axis(H, ts, ov, self.cfg.buckets_step)
-        xs, tsw = _adaptive_tile_axis(W, ts, ov, self.cfg.buckets_step)
+        step = self.cfg.buckets_step
+        sizes = self.cfg.tile_size_buckets
+        if sizes is None:
+            sizes = sorted({max(s - s % step, step)
+                            for s in (ts // 2, 3 * ts // 4, ts)})
+        ys, tsh = _adaptive_tile_axis(H, ts, ov, step, sizes)
+        xs, tsw = _adaptive_tile_axis(W, ts, ov, step, sizes)
         if ov > 0:
             rh = np.minimum(np.arange(1, tsh + 1), ov) / ov
             rw = np.minimum(np.arange(1, tsw + 1), ov) / ov

@@ -108,17 +108,57 @@ def test_adaptive_tile_axis_invariants():
     import math
 
     assert _adaptive_tile_axis(1024, 512, 64, 64) == ([0, 320, 640], 384)
+    # non-step-multiple ts_max: contract still holds (cap floors to a step
+    # multiple; the minimal count is computed from the floored max)
+    for D, ts, ov, step in [(1024, 500, 64, 64), (300, 70, 16, 16)]:
+        pos, t = _adaptive_tile_axis(D, ts, ov, step)
+        eff = ts - ts % step
+        assert t <= eff and t % step == 0
+        assert pos[0] == 0 and pos[-1] == D - t
+        assert len(pos) == math.ceil((D - ov) / (eff - ov))
+    # size buckets snap UP (bounded compile shapes), never past ts_max
+    assert _adaptive_tile_axis(513, 512, 64, 64, (256, 384, 512)) \
+        == ([0, 129], 384)  # raw need is 320 → snapped to 384
     for D in [65, 100, 128, 150, 208, 300, 511, 513, 640, 1000, 1024, 2048]:
         for ts, ov, step in [(512, 64, 64), (64, 16, 16), (256, 32, 64)]:
-            pos, t = _adaptive_tile_axis(D, ts, ov, step)
-            assert t <= max(ts, step) and t % step == 0
-            if D > ts:
-                assert pos[0] == 0 and pos[-1] == D - t  # exact coverage
-                for a, b in zip(pos, pos[1:]):
-                    assert b - a <= t - ov + 1  # ≥ ov overlap (±rounding)
-                assert len(pos) == math.ceil((D - ov) / (ts - ov))  # minimal
-            else:
-                assert pos == [0] and t >= D
+            for sizes in (None, (ts // 2, 3 * ts // 4, ts)):
+                pos, t = _adaptive_tile_axis(D, ts, ov, step, sizes)
+                assert t <= max(ts, step) and t % step == 0
+                if D > ts:
+                    assert pos[0] == 0 and pos[-1] == D - t  # exact coverage
+                    for a, b in zip(pos, pos[1:]):
+                        assert b - a <= t - ov + 1  # ≥ ov overlap (±rounding)
+                    assert len(pos) == math.ceil((D - ov) / (ts - ov))  # minimal
+                else:
+                    assert pos == [0] and t >= D
+
+
+def test_tile_size_buckets_wiring(tiny_restorer):
+    """Explicit tile_size_buckets force the grid's tile size: (tile_size,)
+    reproduces the r2 fixed grid (tiles of exactly ts), while the default
+    derived set lets the adaptive grid shrink (100x80 at ts=64/ov=16 uses
+    64x48 tiles).  Bounds compiled sampler shapes under mixed-res serving."""
+    import dataclasses
+
+    img = np.random.RandomState(1).rand(100, 80, 3).astype(np.float32)
+    shapes = {}
+    for label, buckets in [("fixed", (64,)), ("default", None)]:
+        r = DACLIPRestorer(
+            dataclasses.replace(tiny_restorer.cfg, tile_size_buckets=buckets),
+            tiny_restorer.unet_params, tiny_restorer.daclip_params)
+        seen = []
+        orig = r._sample
+
+        def spy(lq, key, tctx, ictx, _seen=seen, _orig=orig):
+            _seen.append(tuple(lq.shape[1:3]))
+            return _orig(lq, key, tctx, ictx)
+
+        r._sample = spy
+        out = r.restore(img, seed=0, return_uint8=False)
+        assert out.shape == (100, 80, 3) and np.isfinite(out).all()
+        shapes[label] = set(seen)
+    assert shapes["fixed"] == {(64, 64)}
+    assert shapes["default"] == {(64, 48)}
 
 
 def test_restore_tiled_batch_buckets(tiny_restorer):
