@@ -15,6 +15,10 @@ remaining win.  Same chained-forward construction as tools/profile_forward
 (the only honest wallclock on the axon tunnel).
 
   python -m tools.roofline [--batch 32] [--size 256] [--chain 10] [--min-ms 0.5]
+
+`--train` accounts the restoration TRAIN step instead (B16/256²/remat
+production config, tools/profile_train's chained-scan construction): forward
++ backward + AdamW + EMA, the 81.3 samples/s headline path.
 """
 from __future__ import annotations
 
@@ -114,6 +118,9 @@ def main(argv=None):
     ap.add_argument("--min-ms", type=float, default=0.5)
     ap.add_argument("--trace-dir", default=None,
                     help="reuse an existing trace instead of re-profiling")
+    ap.add_argument("--train", action="store_true",
+                    help="account the restoration train step (B16 default) "
+                         "instead of the forward")
     args = ap.parse_args(argv)
 
     if args.trace_dir:
@@ -124,6 +131,43 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from daclip_tpu.models.unet import ConditionalUNet
+
+    if args.train:
+        from daclip_tpu.sde import IRSDE
+        from daclip_tpu.train.restoration import (RestorationTrainConfig,
+                                                  init_state, make_train_step)
+
+        B = 16 if args.batch == 32 else args.batch  # train default is B16
+        S = args.size
+        net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
+                              use_degra_context=True, use_image_context=True,
+                              remat=True, dtype=jnp.bfloat16)
+        lq = jnp.zeros((B, S, S, 3), jnp.float32)
+        ctx = jnp.zeros((B, 512), jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), lq, lq, jnp.ones((B,)),
+                          ctx, ctx)
+        sde = IRSDE(max_sigma=50, T=100, schedule="cosine", eps=0.005)
+        step = make_train_step(net.apply, sde, RestorationTrainConfig())
+        state = init_state(params, RestorationTrainConfig())
+        batch = {"LQ": lq, "GT": lq, "text_context": ctx,
+                 "image_context": ctx}
+
+        @jax.jit
+        def chained_train(st, key):
+            def body(s, k):
+                s, metrics = step(s, batch, k)
+                return s, metrics["loss"]
+            return jax.lax.scan(body, st, jax.random.split(key, args.chain))
+
+        st, _ = chained_train(state, jax.random.PRNGKey(1))
+        jax.block_until_ready(st)  # compile outside the trace
+        trace_dir = tempfile.mkdtemp(prefix="daclip_roofline_train_")
+        with jax.profiler.trace(trace_dir):
+            st, _ = chained_train(st, jax.random.PRNGKey(2))
+            jax.block_until_ready(st)
+        print(f"trace: {trace_dir}")
+        roofline(trace_dir, args.chain, args.min_ms)
+        return
 
     B, S = args.batch, args.size
     net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
