@@ -890,7 +890,15 @@ def attn_wrap_v5_bwd_pallas(x, g_pre, w_qkv, w_out, b_out, g_out,
     VMEM — the manual XLA backward is HBM-bound on its (B,n,HID) f32
     streams (~17 ms per L0 site at B16/256², profiled)."""
     B, n, C = x.shape
-    chunk = 1024
+    # chunk-local VMEM demand scales with chunk·C: at C=512 the bwd-2
+    # recompute's (chunk, C) f32 intermediates overflow the 16 MiB
+    # scoped-vmem stack at chunk=1024 (compile-time OOM on v5e, hit at the
+    # context-free trainer's up3 site, B16/n1024/C512 — reachable whenever
+    # image context is off so level 3 runs LinearAttention instead of a
+    # SpatialTransformer).  Halving the chunk halves the stack; the resident
+    # per-batch accumulator outputs are unaffected.  The wrap gate requires
+    # n % 1024 == 0, so n % 512 always holds.
+    chunk = 1024 if C <= 256 else 512
     assert n % chunk == 0, (n, chunk)
     nchunks = n // chunk
     gpre2 = g_pre.reshape(1, C)

@@ -213,11 +213,13 @@ def test_attn_wrap_v5_manual_bwd_exact_in_f32():
 
 
 @pytest.mark.parametrize("spill_dy", [False, True])
-@pytest.mark.parametrize("C", [64, 128, 256])
+@pytest.mark.parametrize("C", [64, 128, 256, 512])
 def test_attn_wrap_v5_pallas_bwd_interpret_matches_manual(C, spill_dy):
     """Two-pass pallas VJP (interpret) == hand-derived manual backward, at
-    every channel width the production UNet runs it (L0 64, L1 128, L2 256),
-    in both the self-contained-recompute and dy-spill pass-2 variants."""
+    every channel width the production UNet runs it (L0 64, L1 128, L2 256,
+    plus 512 — the context-free config's L3, which takes the halved-chunk
+    path that keeps the kernel under the scoped-vmem stack limit), in both
+    the self-contained-recompute and dy-spill pass-2 variants."""
     import numpy as np
 
     from daclip_tpu.ops import linear_attention as la

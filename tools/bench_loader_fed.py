@@ -82,12 +82,12 @@ def run_config(name, args):
                         num_workers=args.workers)
 
     # remat mirrors cli/train_restoration.py (auto-on at patch >= 256): the
-    # production trainer never runs 256² without it, and the no-remat backward
-    # puts the v5 attention bwd pallas call in a consumer pattern whose scoped
-    # VMEM allocation exceeds the 16M stack limit at (B16,n1024,C512) — a
-    # compile-time OOM on v5e (observed 2026-08-19; remat config compiles).
+    # production trainer never runs 256² without it.  The mdgt configs model
+    # the wild-ir trainer (MDGT feed, train.yml:26) so they use its scale-0.5
+    # arch — the full-res arch at B32 exceeds HBM (BASELINE.md batch sweep).
     unet = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=None,
                            use_degra_context=False, use_image_context=False,
+                           scale=1.0 if name == "md" else 0.5,
                            remat=args.patch >= 256, dtype=jnp.bfloat16)
     sde = IRSDE(max_sigma=50, T=100)
     cfg = RestorationTrainConfig(optimizer="AdamW", lr_G=2e-4, niter=10_000)
