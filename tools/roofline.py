@@ -157,7 +157,9 @@ def roofline(trace_dir, chain, min_ms, pallas_calls=None):
                 for ev in line.events:
                     md = emeta[ev.metadata_id]
                     name = md.name
-                    if not name or name.startswith("jit_"):
+                    # all-digit names are region/step markers spanning whole
+                    # launches (e.g. the scan trip region), not device ops
+                    if not name or name.startswith("jit_") or name.isdigit():
                         continue
                     stats = {}
                     for st in list(ev.stats) + list(md.stats):
