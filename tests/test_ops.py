@@ -299,3 +299,41 @@ def test_flash_bwd_vmem_gating_by_batch():
     # down3 site (HD=256) fits either way
     assert fa._head_groups(1024, 256, 8, 16) == 1
     assert fa.flash_bwd_supported(1024, 512, 16, 24)
+
+
+def test_context_free_unet_routes_L3_through_wrap_kernel(monkeypatch):
+    """Kernel-shape coverage guard: with image context OFF, level 3 runs
+    LinearAttention (not a SpatialTransformer), so on TPU the v5 wrap — and
+    its backward — see (B, 1024, 512) at a 256² patch.  That site never
+    compiles in the context-full headline configs, and its bwd overflowed the
+    scoped-vmem stack at chunk=1024 (fixed: chunk halves at C>256).  Asserts
+    the routing so config variants can't silently change kernel coverage
+    again, and pins the bwd chunk choice at the site's shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from daclip_tpu.models.unet import ConditionalUNet
+    from daclip_tpu.ops import linear_attention as la
+
+    seen = []
+    orig = la.attn_wrap_fused_v5
+    monkeypatch.setattr(la, "attn_wrap_fused_v5",
+                        lambda x, *a: seen.append(tuple(x.shape)) or orig(x, *a))
+    # the wrap gates on a non-CPU backend; spoof it for the trace only
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    B, S = 2, 256
+    net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=None,
+                          use_degra_context=False, use_image_context=False,
+                          dtype=jnp.bfloat16)
+    x = jnp.zeros((B, S, S, 3), jnp.bfloat16)
+    params = jax.eval_shape(
+        lambda k: net.init(k, x, x, jnp.ones((B,)), None, None),
+        jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), params)
+    jax.eval_shape(
+        lambda xt: net.apply(params, xt, x, jnp.ones((B,)), None, None), x)
+    assert (B, 1024, 512) in seen, seen  # the L3 site (mid + up3 reuse it)
+    # the C=512 site must take the halved chunk that fits scoped VMEM:
+    # budget check mirrors ops/linear_attention.py's chunk rule
+    assert all(C <= 256 for (_b, _n, C) in seen if _n > 1024), seen
