@@ -226,13 +226,15 @@ class CLIP(nn.Module):
     def setup(self):
         v = self.cfg.vision
         if v.timm_model_name:  # model.py:100-111 timm dispatch
-            # convnext_* builds natively (models/convnext.py); other timm
-            # families raise with migration guidance (torch-only dep)
+            # every vendored timm family builds natively: convnext_*
+            # (models/convnext.py), eva* (models/eva.py), swin
+            # (models/swin.py), vit_* (models/timm_vit.py)
             from daclip_tpu.models.convnext import build_timm_tower
             self.visual = build_timm_tower(
                 v.timm_model_name, self.cfg.embed_dim, pool=v.timm_pool,
                 proj=v.timm_proj, drop=v.timm_drop,
-                drop_path=v.timm_drop_path, dtype=self.dtype)
+                drop_path=v.timm_drop_path, image_size=v.image_size,
+                remat=self.remat, dtype=self.dtype)
         elif v.is_resnet:   # model.py:113-121: list layers → ModifiedResNet
             from daclip_tpu.models.resnet import ModifiedResNet
             self.visual = ModifiedResNet(

@@ -73,6 +73,7 @@ class ConvNeXt(nn.Module):
     depths: Tuple[int, ...]
     dims: Tuple[int, ...]
     drop_path_rate: float = 0.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +81,12 @@ class ConvNeXt(nn.Module):
         total = sum(self.depths)
         rates = [self.drop_path_rate * i / max(total - 1, 1)
                  for i in range(total)]  # linearly increasing, timm parity
+        # --grad-checkpointing → per-block remat (TimmModel
+        # set_grad_checkpointing parity, timm_model.py:128-130)
+        block_cls = ConvNeXtBlock
+        if self.remat:
+            block_cls = nn.remat(ConvNeXtBlock, prevent_cse=False,
+                                 static_argnums=(2,))
         bi = 0
         for si, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if si == 0:
@@ -91,8 +98,8 @@ class ConvNeXt(nn.Module):
                 x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                             name=f"downsample_conv{si}")(x)
             for bj in range(depth):
-                x = ConvNeXtBlock(dim, drop_path=rates[bi], dtype=self.dtype,
-                                  name=f"stage{si}_block{bj}")(x, train=train)
+                x = block_cls(dim, drop_path=rates[bi], dtype=self.dtype,
+                              name=f"stage{si}_block{bj}")(x, train)
                 bi += 1
         x = jnp.mean(x, axis=(1, 2))           # global average pool
         x = LayerNorm(eps=1e-6, name="head_norm")(x)     # timm head.norm survives
@@ -107,6 +114,7 @@ class ConvNeXtTower(nn.Module):
     proj: str = "linear"
     drop: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -117,7 +125,8 @@ class ConvNeXtTower(nn.Module):
             "controller requires a ViT vision tower")
         depths, dims = VARIANTS[self.model_name]
         x = ConvNeXt(depths, dims, drop_path_rate=self.drop_path,
-                     dtype=self.dtype, name="trunk")(x, train=train)
+                     remat=self.remat, dtype=self.dtype,
+                     name="trunk")(x, train=train)
         if self.proj == "linear":
             if train and self.drop > 0.0 and self.has_rng("dropout"):
                 x = nn.Dropout(self.drop, deterministic=False)(x)
@@ -137,14 +146,16 @@ class ConvNeXtTower(nn.Module):
 
 
 def build_timm_tower(model_name: str, embed_dim: int, pool: str = "",
-                     proj: str = "linear", drop: float = 0.0,
-                     drop_path: Optional[float] = None,
-                     dtype: Dtype = jnp.float32) -> ConvNeXtTower:
+                     proj: Optional[str] = "linear", drop: float = 0.0,
+                     drop_path: Optional[float] = None, image_size: int = 224,
+                     remat: bool = False, dtype: Dtype = jnp.float32):
     """Factory for `vision_cfg.timm_model_name` towers.
 
-    convnext_* builds natively; every other timm family (EVA / swin / vit_*)
-    stays gated with migration guidance — they are torch-only and no shipped
-    DA-CLIP checkpoint uses them."""
+    Every timm family the vendored model configs name builds natively:
+    convnext_* (this module), eva_*/eva02_* (models/eva.py),
+    swin_base_patch4_window7_224 (models/swin.py), and the plain-timm
+    vit_medium_patch16_gap_256 / vit_relpos_medium_patch16_cls_224
+    (models/timm_vit.py).  Anything else raises with migration guidance."""
     if model_name in VARIANTS:
         if pool not in ("", "avg"):
             raise ValueError(
@@ -152,11 +163,46 @@ def build_timm_tower(model_name: str, embed_dim: int, pool: str = "",
                 "(timm default avg pooling only; abs_attn/rot_attn are "
                 "torch-only timm layers)")
         return ConvNeXtTower(model_name=model_name, embed_dim=embed_dim,
-                             proj=proj, drop=drop,
-                             drop_path=drop_path or 0.0, dtype=dtype)
+                             proj=proj or "", drop=drop,
+                             drop_path=drop_path or 0.0, remat=remat,
+                             dtype=dtype)
+    from daclip_tpu.models.eva import EVA_VARIANTS, EvaTower
+    if model_name in EVA_VARIANTS:
+        # EVA configs use adapter branch 1 (timm_model.py:58-67): the trunk's
+        # classifier IS the projection; pool='token', proj must be falsy
+        if pool != "token" or proj:
+            raise ValueError(
+                f"EVA towers implement timm_pool='token'/timm_proj=null as "
+                f"the vendored configs request (got pool={pool!r}, "
+                f"proj={proj!r})")
+        return EvaTower(model_name=model_name, embed_dim=embed_dim,
+                        image_size=image_size, remat=remat, dtype=dtype)
+    from daclip_tpu.models.swin import SWIN_VARIANTS, SwinTower
+    if model_name in SWIN_VARIANTS:
+        if pool not in ("", "avg"):
+            raise ValueError(
+                f"pool={pool!r} not supported for the native swin tower "
+                "(network-default avg pooling only)")
+        return SwinTower(model_name=model_name, embed_dim=embed_dim,
+                         image_size=image_size, proj=proj or "", drop=drop,
+                         remat=remat, dtype=dtype)
+    from daclip_tpu.models.timm_vit import TIMM_VIT_VARIANTS, TimmViTTower
+    if model_name in TIMM_VIT_VARIANTS:
+        if pool not in ("", "avg", "token"):
+            raise ValueError(
+                f"pool={pool!r} not supported for native timm-vit towers")
+        if proj not in (None, "", "linear"):
+            raise ValueError(
+                f"proj={proj!r} not supported for native timm-vit towers "
+                "(the vendored configs use proj='linear')")
+        return TimmViTTower(model_name=model_name, embed_dim=embed_dim,
+                            image_size=image_size, drop=drop, remat=remat,
+                            dtype=dtype)
     raise ImportError(
-        f"timm tower {model_name!r} requested: only the convnext_* family has "
-        "a native flax implementation (models/convnext.py). EVA/swin/vit_* "
-        "timm backbones are torch-only and not available in the TPU runtime; "
-        "use a ViT config (models/clip.py registry), ModifiedResNet "
-        "(RN50/101), or contribute a flax backbone.")
+        f"timm tower {model_name!r} requested: the natively implemented "
+        "families are convnext_* (models/convnext.py), eva*/eva02_* "
+        "(models/eva.py), swin_base_patch4_window7_224 (models/swin.py) and "
+        "vit_{medium_patch16_gap_256,relpos_medium_patch16_cls_224} "
+        "(models/timm_vit.py) — every family the vendored model configs "
+        "name. Other timm backbones are torch-only; use a ViT config "
+        "(models/clip.py registry) or contribute a flax backbone.")

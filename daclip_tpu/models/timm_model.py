@@ -21,4 +21,5 @@ def TimmModel(model_name: str, embed_dim: int = 512, image_size: int = 224,
     """Reference-signature factory (timm_model.py:33-46): returns a flax
     module for convnext_*, raises ImportError for torch-only families."""
     return build_timm_tower(model_name, embed_dim, pool=pool, proj=proj,
-                            drop=drop, drop_path=drop_path)
+                            drop=drop, drop_path=drop_path,
+                            image_size=image_size)

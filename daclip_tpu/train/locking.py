@@ -47,7 +47,33 @@ def vision_lock_mask(visual_params: Dict, unlocked_groups: int = 0) -> Any:
       resblocks[0] … resblocks[L-2] (one group each),
       [resblocks[L-1], ln_post], proj.
     unlocked_groups=g unlocks the last g groups.
+
+    Non-ViT towers follow the reference's own semantics:
+      * ModifiedResNet.lock (modified_resnet.py:154-159) locks EVERYTHING and
+        asserts unlocked_groups == 0;
+      * TimmModel.lock (timm_model.py:107-117) locks the TRUNK only — the
+        open_clip adapter head (our top-level 'proj' / 'mlp_fc*' params,
+        branch-2 towers: convnext/swin/vit_*) stays trainable; EVA towers
+        (branch 1) have their projection inside the trunk, so everything
+        locks.  Partial unlocking needs timm-master's group_matcher upstream
+        (it raises RuntimeError otherwise) — we raise the equivalent.
     """
+    if "transformer" not in visual_params:
+        if unlocked_groups:
+            raise ValueError(
+                "lock_image_unlocked_groups > 0 is only supported for the "
+                "open_clip ViT tower (reference parity: ModifiedResNet "
+                "asserts 0, modified_resnet.py:155; TimmModel requires "
+                "timm-master group_matcher, timm_model.py:118-125)")
+        _ADAPTER_HEAD = ("proj", "mlp_fc1", "mlp_fc2")
+
+        def mask_nonvit(path, leaf):
+            name = str(getattr(path[0], "key", path[0])) if path else ""
+            return jnp.asarray(1.0 if name in _ADAPTER_HEAD else 0.0,
+                               jnp.float32)
+
+        return jax.tree_util.tree_map_with_path(mask_nonvit, visual_params)
+
     blocks = visual_params["transformer"]["resblocks"]
     n_layers = int(jax.tree.leaves(blocks)[0].shape[0])
     n_groups = 1 + (n_layers - 1) + 1 + 1  # stem + L-1 blocks + (last+ln_post) + proj

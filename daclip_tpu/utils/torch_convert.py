@@ -207,6 +207,203 @@ def convert_convnext_visual(sd: Dict[str, np.ndarray],
     return out
 
 
+def _patch_kernel(w):
+    """timm/open_clip patch conv (D, C, p, p) → pixel-major matmul kernel
+    (p·p·C, D) — the VisionTransformer.conv1 layout (torch_convert.py:100-107)."""
+    D, C, p, _ = w.shape
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)).reshape(p * p * C, D))
+
+
+def convert_eva_visual(sd: Dict[str, np.ndarray], prefix: str = "visual") -> Dict:
+    """open_clip TimmModel-wrapped EVA/EVA-02 tower → our flax tree
+    (models/eva.py).  Keys follow timm's `eva.py` with the trunk classifier
+    kept (adapter branch 1, timm_model.py:58-67: `num_classes=embed_dim`,
+    `global_pool='token'`, empty adapter head).  Handles both the fused-qkv
+    (BEiT-style q_bias/v_bias, zero k bias — EVA-01 giant / EVA-02 enormous)
+    and split q/k/v (EVA-02 CLIP base/large) attention schemas, and the
+    EVA-CLIP extra LNs (attn.norm inner LN, mlp.norm sub-LN) + SwiGLU mlp
+    (fc1_g/fc1_x) when present."""
+    t = f"{prefix}.trunk"
+    ln = lambda key: {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+    depth = 0
+    while f"{t}.blocks.{depth}.norm1.weight" in sd:
+        depth += 1
+    fused = f"{t}.blocks.0.attn.qkv.weight" in sd
+    swiglu = f"{t}.blocks.0.mlp.fc1_g.weight" in sd
+    inner_ln = f"{t}.blocks.0.attn.norm.weight" in sd
+    mlp_ln = f"{t}.blocks.0.mlp.norm.weight" in sd
+
+    def stack(fmt, conv=None):
+        conv = conv or (lambda a: a)
+        return np.stack([conv(sd[fmt.format(i=i)]) for i in range(depth)], 0)
+
+    attn: Dict = {"proj": {"kernel": stack(f"{t}.blocks.{{i}}.attn.proj.weight", _t),
+                           "bias": stack(f"{t}.blocks.{{i}}.attn.proj.bias")}}
+    if fused:
+        attn["qkv"] = {"kernel": stack(f"{t}.blocks.{{i}}.attn.qkv.weight", _t)}
+        attn["q_bias"] = stack(f"{t}.blocks.{{i}}.attn.q_bias")
+        attn["v_bias"] = stack(f"{t}.blocks.{{i}}.attn.v_bias")
+    else:
+        attn["q_proj"] = {"kernel": stack(f"{t}.blocks.{{i}}.attn.q_proj.weight", _t),
+                          "bias": stack(f"{t}.blocks.{{i}}.attn.q_bias")
+                          if f"{t}.blocks.0.attn.q_bias" in sd
+                          else stack(f"{t}.blocks.{{i}}.attn.q_proj.bias")}
+        attn["k_proj"] = {"kernel": stack(f"{t}.blocks.{{i}}.attn.k_proj.weight", _t)}
+        attn["v_proj"] = {"kernel": stack(f"{t}.blocks.{{i}}.attn.v_proj.weight", _t),
+                          "bias": stack(f"{t}.blocks.{{i}}.attn.v_bias")
+                          if f"{t}.blocks.0.attn.v_bias" in sd
+                          else stack(f"{t}.blocks.{{i}}.attn.v_proj.bias")}
+    if inner_ln:
+        attn["norm"] = {"scale": stack(f"{t}.blocks.{{i}}.attn.norm.weight"),
+                        "bias": stack(f"{t}.blocks.{{i}}.attn.norm.bias")}
+    blocks: Dict = {
+        "norm1": {"scale": stack(f"{t}.blocks.{{i}}.norm1.weight"),
+                  "bias": stack(f"{t}.blocks.{{i}}.norm1.bias")},
+        "norm2": {"scale": stack(f"{t}.blocks.{{i}}.norm2.weight"),
+                  "bias": stack(f"{t}.blocks.{{i}}.norm2.bias")},
+        "attn": attn,
+        "mlp_fc2": {"kernel": stack(f"{t}.blocks.{{i}}.mlp.fc2.weight", _t),
+                    "bias": stack(f"{t}.blocks.{{i}}.mlp.fc2.bias")},
+    }
+    if swiglu:
+        blocks["mlp_fc1_g"] = {"kernel": stack(f"{t}.blocks.{{i}}.mlp.fc1_g.weight", _t),
+                               "bias": stack(f"{t}.blocks.{{i}}.mlp.fc1_g.bias")}
+        blocks["mlp_fc1_x"] = {"kernel": stack(f"{t}.blocks.{{i}}.mlp.fc1_x.weight", _t),
+                               "bias": stack(f"{t}.blocks.{{i}}.mlp.fc1_x.bias")}
+    else:
+        blocks["mlp_fc1"] = {"kernel": stack(f"{t}.blocks.{{i}}.mlp.fc1.weight", _t),
+                             "bias": stack(f"{t}.blocks.{{i}}.mlp.fc1.bias")}
+    if mlp_ln:
+        blocks["mlp_norm"] = {"scale": stack(f"{t}.blocks.{{i}}.mlp.norm.weight"),
+                              "bias": stack(f"{t}.blocks.{{i}}.mlp.norm.bias")}
+    return {
+        "patch_embed": _patch_kernel(sd[f"{t}.patch_embed.proj.weight"]),
+        "patch_bias": sd[f"{t}.patch_embed.proj.bias"],
+        "cls_token": sd[f"{t}.cls_token"].reshape(-1),
+        "pos_embed": sd[f"{t}.pos_embed"].reshape(sd[f"{t}.pos_embed"].shape[-2:]),
+        "blocks": blocks,
+        "norm": ln(f"{t}.norm"),
+        "head": {"kernel": _t(sd[f"{t}.head.weight"]),
+                 "bias": sd[f"{t}.head.bias"]},
+    }
+
+
+def convert_timm_vit_visual(sd: Dict[str, np.ndarray],
+                            prefix: str = "visual") -> Dict:
+    """open_clip TimmModel-wrapped plain-timm ViT (VisionTransformer /
+    VisionTransformerRelPos) → our flax tree (models/timm_vit.py).  Adapter
+    branch 2: trunk classifier reset, default pooling, bias-free adapter
+    projection at `{prefix}.head.proj.weight` (timm_model.py:68-99)."""
+    t = f"{prefix}.trunk"
+    depth = 0
+    while f"{t}.blocks.{depth}.norm1.weight" in sd:
+        depth += 1
+
+    def stack(fmt, conv=None):
+        conv = conv or (lambda a: a)
+        return np.stack([conv(sd[fmt.format(i=i)]) for i in range(depth)], 0)
+
+    blocks: Dict = {
+        "norm1": {"scale": stack(f"{t}.blocks.{{i}}.norm1.weight"),
+                  "bias": stack(f"{t}.blocks.{{i}}.norm1.bias")},
+        "norm2": {"scale": stack(f"{t}.blocks.{{i}}.norm2.weight"),
+                  "bias": stack(f"{t}.blocks.{{i}}.norm2.bias")},
+        "qkv": {"kernel": stack(f"{t}.blocks.{{i}}.attn.qkv.weight", _t)},
+        "proj": {"kernel": stack(f"{t}.blocks.{{i}}.attn.proj.weight", _t),
+                 "bias": stack(f"{t}.blocks.{{i}}.attn.proj.bias")},
+        "mlp_fc1": {"kernel": stack(f"{t}.blocks.{{i}}.mlp.fc1.weight", _t),
+                    "bias": stack(f"{t}.blocks.{{i}}.mlp.fc1.bias")},
+        "mlp_fc2": {"kernel": stack(f"{t}.blocks.{{i}}.mlp.fc2.weight", _t),
+                    "bias": stack(f"{t}.blocks.{{i}}.mlp.fc2.bias")},
+    }
+    if f"{t}.blocks.0.attn.qkv.bias" in sd:
+        blocks["qkv"]["bias"] = stack(f"{t}.blocks.{{i}}.attn.qkv.bias")
+    if f"{t}.blocks.0.ls1.gamma" in sd:
+        blocks["ls_1"] = stack(f"{t}.blocks.{{i}}.ls1.gamma")
+        blocks["ls_2"] = stack(f"{t}.blocks.{{i}}.ls2.gamma")
+    if f"{t}.blocks.0.attn.rel_pos.mlp.fc1.weight" in sd:
+        blocks["relpos_fc1"] = {
+            "kernel": stack(f"{t}.blocks.{{i}}.attn.rel_pos.mlp.fc1.weight", _t),
+            "bias": stack(f"{t}.blocks.{{i}}.attn.rel_pos.mlp.fc1.bias")}
+        blocks["relpos_fc2"] = {
+            "kernel": stack(f"{t}.blocks.{{i}}.attn.rel_pos.mlp.fc2.weight", _t),
+            "bias": stack(f"{t}.blocks.{{i}}.attn.rel_pos.mlp.fc2.bias")}
+    out: Dict = {
+        "patch_embed": _patch_kernel(sd[f"{t}.patch_embed.proj.weight"]),
+        "patch_bias": sd[f"{t}.patch_embed.proj.bias"],
+        "blocks": blocks,
+        "norm": {"scale": sd[f"{t}.norm.weight"], "bias": sd[f"{t}.norm.bias"]},
+        "proj": {"kernel": _t(sd[f"{prefix}.head.proj.weight"])},
+    }
+    if f"{t}.cls_token" in sd:
+        out["cls_token"] = sd[f"{t}.cls_token"].reshape(-1)
+    if f"{t}.pos_embed" in sd:
+        out["pos_embed"] = sd[f"{t}.pos_embed"].reshape(
+            sd[f"{t}.pos_embed"].shape[-2:])
+    return out
+
+
+def convert_swin_visual(sd: Dict[str, np.ndarray],
+                        prefix: str = "visual") -> Dict:
+    """open_clip TimmModel-wrapped Swin-v1 → our flax tree (models/swin.py).
+    Accepts both timm layouts for PatchMerging: classic `layers.{i}.downsample`
+    at the END of stage i (merging into stage i+1 — Microsoft/timm<0.9) and
+    `layers.{i}.downsample` at the START of stage i (timm≥0.9)."""
+    t = f"{prefix}.trunk"
+    ln = lambda key: {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+    out: Dict = {
+        "patch_embed": {"kernel": _conv(sd[f"{t}.patch_embed.proj.weight"]),
+                        "bias": sd[f"{t}.patch_embed.proj.bias"]},
+        "patch_norm": ln(f"{t}.patch_embed.norm"),
+        "norm": ln(f"{t}.norm"),
+    }
+    si = 0
+    while f"{t}.layers.{si}.blocks.0.norm1.weight" in sd:
+        if si > 0:
+            # end-of-previous-stage (classic) or start-of-this-stage (new)
+            d = (f"{t}.layers.{si - 1}.downsample"
+                 if f"{t}.layers.{si - 1}.downsample.norm.weight" in sd
+                 else f"{t}.layers.{si}.downsample")
+            out[f"merge_norm{si}"] = ln(f"{d}.norm")
+            out[f"merge_proj{si}"] = {"kernel": _t(sd[f"{d}.reduction.weight"])}
+        bj = 0
+        while f"{t}.layers.{si}.blocks.{bj}.norm1.weight" in sd:
+            b = f"{t}.layers.{si}.blocks.{bj}"
+            out[f"stage{si}_block{bj}"] = {
+                "norm1": ln(f"{b}.norm1"),
+                "norm2": ln(f"{b}.norm2"),
+                "attn": {
+                    "qkv": {"kernel": _t(sd[f"{b}.attn.qkv.weight"]),
+                            "bias": sd[f"{b}.attn.qkv.bias"]},
+                    "proj": {"kernel": _t(sd[f"{b}.attn.proj.weight"]),
+                             "bias": sd[f"{b}.attn.proj.bias"]},
+                    "rel_pos_table": sd[f"{b}.attn.relative_position_bias_table"],
+                },
+                "mlp_fc1": {"kernel": _t(sd[f"{b}.mlp.fc1.weight"]),
+                            "bias": sd[f"{b}.mlp.fc1.bias"]},
+                "mlp_fc2": {"kernel": _t(sd[f"{b}.mlp.fc2.weight"]),
+                            "bias": sd[f"{b}.mlp.fc2.bias"]},
+            }
+            bj += 1
+        si += 1
+    if f"{prefix}.head.proj.weight" in sd:
+        out["proj"] = {"kernel": _t(sd[f"{prefix}.head.proj.weight"])}
+    return out
+
+
+def convert_timm_visual(sd: Dict[str, np.ndarray], prefix: str = "visual") -> Dict:
+    """Dispatch a `{prefix}.trunk.*` (open_clip TimmModel) state dict to the
+    right family converter by key shape."""
+    if f"{prefix}.trunk.stem.0.weight" in sd:
+        return convert_convnext_visual(sd, prefix)
+    if f"{prefix}.trunk.layers.0.blocks.0.norm1.weight" in sd:
+        return convert_swin_visual(sd, prefix)
+    if (f"{prefix}.trunk.blocks.0.attn.q_bias" in sd
+            or f"{prefix}.trunk.blocks.0.attn.q_proj.weight" in sd):
+        return convert_eva_visual(sd, prefix)
+    return convert_timm_vit_visual(sd, prefix)
+
+
 def resize_pos_embed(visual_params: Dict, image_size: int, patch_size: int,
                      method: str = "cubic", antialias: bool = True) -> Dict:
     """Rescale the ViT position-embedding grid when loading a checkpoint trained
@@ -251,7 +448,7 @@ def convert_clip(sd: Dict[str, np.ndarray], image_size: Optional[int] = None,
     image_size/patch_size are given and the target grid differs from the
     checkpoint's, the ViT pos-embed is interpolated (model.py:451-483)."""
     if any(k.startswith("visual.trunk.") for k in sd):
-        visual = convert_convnext_visual(sd, "visual")
+        visual = convert_timm_visual(sd, "visual")
     elif any(k.startswith("visual.layer1.") for k in sd):
         stages = tuple(
             len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})

@@ -77,11 +77,54 @@ def test_convnext_stochastic_depth_gated_on_rng():
     assert not np.allclose(np.asarray(eval_out), np.asarray(diff))
 
 
-def test_non_convnext_timm_families_still_gate():
-    for name in ("eva02_base_patch16_clip_224", "swin_base_patch4_window7_224",
-                 "vit_medium_patch16_gap_256", "resnet50"):
-        with pytest.raises(ImportError, match="timm"):
-            build_timm_tower(name, 512)
+def test_timm_tower_dispatch_and_gate():
+    # every vendored family now builds natively (models/{eva,swin,timm_vit}.py)
+    from daclip_tpu.models.eva import EvaTower
+    from daclip_tpu.models.swin import SwinTower
+    from daclip_tpu.models.timm_vit import TimmViTTower
+    assert isinstance(build_timm_tower("eva02_base_patch16_clip_224", 512,
+                                       pool="token", proj=None), EvaTower)
+    assert isinstance(build_timm_tower("swin_base_patch4_window7_224", 512),
+                      SwinTower)
+    assert isinstance(build_timm_tower("vit_medium_patch16_gap_256", 512),
+                      TimmViTTower)
+    # unknown timm archs still gate with migration guidance
+    with pytest.raises(ImportError, match="timm"):
+        build_timm_tower("resnet50", 512)
+    # EVA towers enforce the vendored configs' adapter branch
+    with pytest.raises(ValueError, match="token"):
+        build_timm_tower("eva02_base_patch16_clip_224", 512)
+
+
+def test_timm_tower_remat_grads_match():
+    """--grad-checkpointing on timm towers: remat recompute changes memory,
+    not math (TimmModel.set_grad_checkpointing parity)."""
+    import numpy as np
+
+    from daclip_tpu.models.convnext import VARIANTS, ConvNeXtTower
+    from daclip_tpu.models.eva import EVA_VARIANTS, EvaTower
+    VARIANTS["cn_remat_t"] = ((2, 2), (16, 32))
+    EVA_VARIANTS["eva_remat_t"] = dict(
+        patch=4, width=32, depth=2, heads=4, hidden=64, swiglu=True,
+        clip_extras=True, rope=True, post_norm=False, fused_qkv=False,
+        ref_feat=(8, 8))
+    try:
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 16, 16, 3)), jnp.float32)
+        for cls, kw in [(ConvNeXtTower, dict(model_name="cn_remat_t")),
+                        (EvaTower, dict(model_name="eva_remat_t",
+                                        image_size=16))]:
+            t0 = cls(embed_dim=8, **kw)
+            t1 = cls(embed_dim=8, remat=True, **kw)
+            p = t0.init(jax.random.PRNGKey(0), x)["params"]
+            loss = lambda m: lambda pp: jnp.sum(m.apply({"params": pp}, x) ** 2)
+            g0, g1 = jax.grad(loss(t0))(p), jax.grad(loss(t1))(p)
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-4)
+    finally:
+        del VARIANTS["cn_remat_t"]
+        del EVA_VARIANTS["eva_remat_t"]
 
 
 def test_convnext_rejects_controller_use():

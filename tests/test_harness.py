@@ -86,6 +86,55 @@ def test_lit_locking_masks_updates():
                        np.asarray(s2.params["visual"]["conv1"]))
 
 
+def test_lit_locking_timm_tower():
+    """--lock-image on a timm-tower CLIP: the trunk freezes, the open_clip
+    adapter head stays trainable (TimmModel.lock locks self.trunk only,
+    timm_model.py:107-117); partial unlocking refuses like the reference
+    (group_matcher needs timm-master, timm_model.py:118-125)."""
+    import jax
+    import jax.numpy as jnp
+    from daclip_tpu.factory import create_model
+    from daclip_tpu.models.clip import _MODEL_CONFIGS
+    from daclip_tpu.models.convnext import VARIANTS
+    from daclip_tpu.train.clip_train import (ClipTrainConfig, init_state,
+                                             make_train_step)
+    from daclip_tpu.train.locking import build_update_mask
+
+    VARIANTS["convnext_locktest"] = ((2, 2), (16, 32))
+    _MODEL_CONFIGS["timm-lock-test"] = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "timm_model_name": "convnext_locktest",
+                       "timm_pool": "", "timm_proj": "linear",
+                       "layers": 2, "width": 64},
+        "text_cfg": {"context_length": 16, "vocab_size": 49408, "width": 32,
+                     "heads": 2, "layers": 2},
+    }
+    try:
+        model, params = create_model("timm-lock-test")
+        mask = build_update_mask(params, lock_image=True)
+        cfg = ClipTrainConfig(lr=1e-2, warmup=1, total_steps=10,
+                              variant="clip", wd=0.1)
+        state = init_state(params, cfg)
+        step = jax.jit(make_train_step(model.apply, {}, cfg, update_mask=mask))
+        batch = {"images": jnp.ones((8, 32, 32, 3)) * 0.2,
+                 "texts": (jnp.tile(jnp.arange(8)[:, None], (1, 16))
+                           .astype(jnp.int32) % 100)}
+        new_state, m = step(state, batch, {})
+        assert np.isfinite(float(m["total_loss"]))
+        before = jax.tree.leaves(state.params["visual"]["trunk"])
+        after = jax.tree.leaves(new_state.params["visual"]["trunk"])
+        assert all(np.allclose(b, a) for b, a in zip(before, after))
+        assert not np.allclose(
+            np.asarray(state.params["visual"]["proj"]["kernel"]),
+            np.asarray(new_state.params["visual"]["proj"]["kernel"]))
+        with pytest.raises(ValueError, match="group_matcher"):
+            build_update_mask(params, lock_image=True,
+                              lock_image_unlocked_groups=1)
+    finally:
+        del VARIANTS["convnext_locktest"]
+        del _MODEL_CONFIGS["timm-lock-test"]
+
+
 def test_distill_training_step():
     """--distill-model teacher wiring (main.py:219-243 + DistillClipLoss)."""
     import jax
