@@ -459,17 +459,21 @@ def convert_clip(sd: Dict[str, np.ndarray], image_size: Optional[int] = None,
                                  _count_layers(sd, "visual.transformer.resblocks"))
         if image_size is not None and patch_size is not None:
             visual = resize_pos_embed(visual, image_size, patch_size)
-    t_layers = _count_layers(sd, "transformer.resblocks")
+    # CustomTextCLIP checkpoints (model.py:267-285 — every custom_text config,
+    # i.e. all timm-family releases) prefix the text tower with `text.`;
+    # plain CLIP stores it unprefixed at the top level
+    tp = "text." if any(k.startswith("text.transformer.") for k in sd) else ""
+    t_layers = _count_layers(sd, f"{tp}transformer.resblocks")
     return {
         "visual": visual,
         "text": {
-            "token_embedding": sd["token_embedding.weight"],
-            "positional_embedding": sd["positional_embedding"],
-            "ln_final": {"scale": sd["ln_final.weight"],
-                         "bias": sd["ln_final.bias"]},
-            "text_projection": sd["text_projection"],
+            "token_embedding": sd[f"{tp}token_embedding.weight"],
+            "positional_embedding": sd[f"{tp}positional_embedding"],
+            "ln_final": {"scale": sd[f"{tp}ln_final.weight"],
+                         "bias": sd[f"{tp}ln_final.bias"]},
+            "text_projection": sd[f"{tp}text_projection"],
             "transformer": {"resblocks": _convert_resblocks(
-                sd, "transformer.resblocks", t_layers)},
+                sd, f"{tp}transformer.resblocks", t_layers)},
         },
         "logit_scale": np.asarray(sd["logit_scale"], np.float32),
     }

@@ -220,6 +220,71 @@ def test_eva_tower_matches_torch_oracle(tiny_variants, variant):
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+def test_full_custom_text_checkpoint_loads_through_factory(tiny_variants,
+                                                           tmp_path):
+    """An open_clip CustomTextCLIP checkpoint (visual.trunk EVA + `text.`-
+    prefixed text tower — the layout of every timm-family release,
+    model.py:267-285) loads end-to-end via create_model(pretrained=...)."""
+    import jax.numpy as jnp2
+
+    from daclip_tpu.factory import create_model
+    from daclip_tpu.models.clip import _MODEL_CONFIGS
+
+    cfg = TINY["eva_parity_clip"]
+    rng = np.random.default_rng(3)
+    sd = make_state_dict(rng, cfg)
+    r = lambda *s: (rng.standard_normal(s) * 0.1).astype(np.float32)
+    TW, TL, CTX, VOC = 32, 2, 8, 64
+    sd["text.token_embedding.weight"] = r(VOC, TW)
+    sd["text.positional_embedding"] = r(CTX, TW)
+    sd["text.ln_final.weight"] = 1 + r(TW) * 0.1
+    sd["text.ln_final.bias"] = r(TW)
+    sd["text.text_projection"] = r(TW, EMBED)
+    for i in range(TL):
+        b = f"text.transformer.resblocks.{i}"
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{b}.{ln}.weight"] = 1 + r(TW) * 0.1
+            sd[f"{b}.{ln}.bias"] = r(TW)
+        sd[f"{b}.attn.in_proj_weight"] = r(3 * TW, TW)
+        sd[f"{b}.attn.in_proj_bias"] = r(3 * TW)
+        sd[f"{b}.attn.out_proj.weight"] = r(TW, TW)
+        sd[f"{b}.attn.out_proj.bias"] = r(TW)
+        sd[f"{b}.mlp.c_fc.weight"] = r(4 * TW, TW)
+        sd[f"{b}.mlp.c_fc.bias"] = r(4 * TW)
+        sd[f"{b}.mlp.c_proj.weight"] = r(TW, 4 * TW)
+        sd[f"{b}.mlp.c_proj.bias"] = r(TW)
+    sd["logit_scale"] = np.asarray(2.6593, np.float32)
+    path = tmp_path / "eva_tiny.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(path))
+
+    _MODEL_CONFIGS["eva-parity-tiny"] = {
+        "embed_dim": EMBED,
+        "vision_cfg": {"image_size": IMG,
+                       "timm_model_name": "eva_parity_clip",
+                       "timm_pool": "token", "timm_proj": None},
+        "text_cfg": {"context_length": CTX, "vocab_size": VOC,
+                     "width": TW, "heads": 4, "layers": TL},
+        "custom_text": True,
+    }
+    try:
+        m, p = create_model("eva-parity-tiny", pretrained=str(path))
+        x = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+        img = jnp2.asarray(np.transpose(x, (0, 2, 3, 1)))
+        feats = m.apply({"params": p}, img, method=m.encode_image)
+        # the loaded visual params reproduce the oracle forward exactly
+        want = torch_oracle(sd, torch.from_numpy(x), cfg).numpy()
+        np.testing.assert_allclose(np.asarray(feats), want,
+                                   rtol=3e-5, atol=3e-5)
+        txt = jnp2.asarray((np.arange(2 * CTX).reshape(2, CTX) % VOC)
+                           .astype(np.int32))
+        tf = m.apply({"params": p}, txt, method=m.encode_text)
+        assert tf.shape == (2, EMBED)
+        assert np.isfinite(np.asarray(tf)).all()
+    finally:
+        del _MODEL_CONFIGS["eva-parity-tiny"]
+
+
 def test_convert_timm_visual_dispatches_eva(tiny_variants):
     rng = np.random.default_rng(0)
     for variant in ("eva_parity_fused", "eva_parity_clip"):
