@@ -159,6 +159,15 @@ class SwinTower(nn.Module):
             "requires the open_clip ViT vision tower")
         cfg = SWIN_VARIANTS[self.model_name]
         p, w = cfg["patch"], cfg["window"]
+        n_merges = len(cfg["depths"]) - 1
+        need = p * (2 ** n_merges)
+        if (x.shape[1] % need or x.shape[2] % need
+                or (x.shape[1] // need) % w or (x.shape[2] // need) % w):
+            raise ValueError(
+                f"swin geometry: input {x.shape[1]}x{x.shape[2]} must be a "
+                f"multiple of patch*2^merges*window = {need * w} (grid halves "
+                f"{n_merges}x and each stage partitions into {w}x{w} windows); "
+                f"{self.model_name} is defined at {self.image_size}px")
         x = nn.Conv(cfg["embed"], (p, p), strides=(p, p), dtype=self.dtype,
                     name="patch_embed")(x)
         x = LayerNorm(dtype=self.dtype, name="patch_norm")(x)
