@@ -1,7 +1,9 @@
 """Embedding visualization suite — ports of the reference's analysis scripts
 (da-clip/src/visualize_diff_type_TSNE.py, visualize_all.py,
 visualize_emb_sequence.py, visualize/visualize_UMAP.py, cosine heatmaps), all
-operating on the .npy embedding dumps written by eval/evaluate_numclip.py.
+operating on the .npy embedding dumps written by eval/evaluate_numclip.py;
+plus the model-free LQ/GT residual grid (visualize_img_residual.py) via
+--residual-root.
 
 torch-free (numpy/sklearn/matplotlib); UMAP falls back to t-SNE when the umap
 package is absent.
@@ -118,15 +120,79 @@ def embedding_monotonicity(feats, labels):
     return out
 
 
+def residual_grid(root_dir: str, degra_prefix: str, levels, image_name: str,
+                  out_path: str):
+    """LQ / GT / |LQ-GT| residual / Δresidual grid across degradation levels
+    (da-clip/src/visualize_img_residual.py:14-64 behaviour): one column per
+    level folder `<root>/<prefix><level>/{GT,LQ}/<image>`, Δresidual heatmap
+    normalized at the 99th percentile."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from daclip_tpu.data.util import read_img
+
+    n = len(levels)
+    fig, axes = plt.subplots(4, n, figsize=(3 * n, 12), squeeze=False)
+    prev_residual = None
+    for i, level in enumerate(levels):
+        folder = f"{degra_prefix}{level}"
+        gt = read_img(None, os.path.join(root_dir, folder, "GT", image_name))[..., ::-1]
+        lq = read_img(None, os.path.join(root_dir, folder, "LQ", image_name))[..., ::-1]
+        residual = np.abs(lq - gt)
+        axes[0, i].imshow(lq)
+        axes[0, i].set_title(f"{degra_prefix}{level}")
+        axes[1, i].imshow(gt)
+        axes[1, i].set_title("GT")
+        axes[2, i].imshow(np.clip(residual, 0, 1))
+        axes[2, i].set_title("Residual")
+        if prev_residual is not None:
+            delta_gray = np.abs(residual - prev_residual).mean(axis=-1)
+            vmax = max(float(np.percentile(delta_gray, 99)), 1e-8)
+            axes[3, i].imshow(delta_gray, cmap="inferno", vmin=0, vmax=vmax)
+            axes[3, i].set_title("ΔResidual Heatmap")
+        else:
+            axes[3, i].set_title("ΔResidual")
+        for r in range(4):
+            axes[r, i].axis("off")
+        prev_residual = residual
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--embeddings", required=True)
+    ap.add_argument("--embeddings")
     ap.add_argument("--out", default="viz")
     ap.add_argument("--method", default="tsne", choices=["tsne", "umap"])
     ap.add_argument("--heatmap", action="store_true")
     ap.add_argument("--monotonicity", action="store_true")
+    ap.add_argument("--residual-root", help="levels folder tree "
+                    "<root>/<prefix><level>/{GT,LQ}/<image> for the residual "
+                    "grid (visualize_img_residual.py)")
+    ap.add_argument("--residual-prefix", default="blur")
+    ap.add_argument("--residual-levels", default="0.5,1.0,1.5,2.0,2.5,3.0")
+    ap.add_argument("--residual-image", default=None,
+                    help="image filename; default = first file in the first "
+                    "level's GT folder")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    if args.residual_root:
+        levels = [lv.strip() for lv in args.residual_levels.split(",") if lv.strip()]
+        image_name = args.residual_image
+        if image_name is None:
+            first_gt = os.path.join(args.residual_root,
+                                    f"{args.residual_prefix}{levels[0]}", "GT")
+            image_name = sorted(os.listdir(first_gt))[0]
+        out = residual_grid(args.residual_root, args.residual_prefix, levels,
+                            image_name, os.path.join(args.out, "residual_grid.png"))
+        print(f"residual grid -> {out}")
+        if not args.embeddings:
+            return
+    if not args.embeddings:
+        ap.error("--embeddings is required unless --residual-root is given")
     feats, labels = load_embeddings(args.embeddings)
     plot_projection(feats, labels, os.path.join(args.out, f"{args.method}.png"),
                     args.method)

@@ -137,3 +137,49 @@ def test_evaluate_numclip_end_to_end(tmp_path):
     assert feats.shape == (4, 32)
     assert (tmp_path / "out" / "confusion_matrix_tiny_numclip.png").exists()
     assert len(res["base_class_acc"]) == len(res["base_classes"]) == 2
+
+
+def test_visualize_tool(tmp_path):
+    """tools/visualize: embedding projection + heatmap + monotonicity JSON, and
+    the model-free residual grid (visualize_img_residual.py behaviour)."""
+    pytest.importorskip("matplotlib")
+    from daclip_tpu.tools import visualize as viz
+
+    # --- embedding dumps: 3 levels x 2 types, 4 samples each ---
+    rng = np.random.default_rng(0)
+    feats, labels = [], []
+    for b, base in enumerate(("blur", "noisy")):
+        for lv in (1.0, 2.0, 3.0):
+            # rotate with level so cosine distance from level 1 is monotone
+            th = 0.3 * lv
+            centre = np.zeros(8)
+            centre[2 * b] = np.cos(th)
+            centre[2 * b + 1] = np.sin(th)
+            feats.append(centre + 0.001 * rng.normal(size=(4, 8)))
+            labels += [f"{base}{lv}"] * 4
+    emb = tmp_path / "emb"
+    emb.mkdir()
+    np.save(emb / "all_embeddings.npy", np.concatenate(feats))
+    np.save(emb / "labels.npy", np.asarray(labels))
+    out = tmp_path / "viz"
+
+    # --- residual tree: <root>/<prefix><level>/{GT,LQ}/img.png ---
+    root = tmp_path / "levels"
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    for lv in ("1.0", "2.0"):
+        for sub in ("GT", "LQ"):
+            d = root / f"blur{lv}" / sub
+            d.mkdir(parents=True)
+            noise = 0 if sub == "GT" else int(float(lv) * 10)
+            cv2.imwrite(str(d / "img.png"),
+                        np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8))
+
+    viz.main(["--embeddings", str(emb), "--out", str(out), "--heatmap",
+              "--monotonicity", "--residual-root", str(root),
+              "--residual-levels", "1.0,2.0"])
+    for name in ("tsne.png", "cosine_heatmap.png", "monotonicity.json",
+                 "residual_grid.png"):
+        assert (out / name).exists(), name
+    import json
+    mono = json.loads((out / "monotonicity.json").read_text())
+    assert mono["blur"]["spearman_rho"] > 0.9  # level-monotone by construction
