@@ -11,6 +11,24 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import pathlib
 import sys
 
+# Full-suite runs have twice segfaulted inside XLA:CPU's LLVM compile of the
+# biggest graph (the restoration train step, tests/test_train.py) after ~230
+# green tests — the classic signature of deep-recursion stack overflow on the
+# default 8 MiB main-thread stack.  The main stack grows on demand up to the
+# soft limit, so raise it before any compiles happen (hard limit is unlimited
+# here; keep a finite cap to avoid surprising the allocator).
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK,
+                           (_want if _hard == resource.RLIM_INFINITY
+                            else min(_want, _hard), _hard))
+    except (ValueError, OSError):
+        pass
+
 import jax
 import pytest
 

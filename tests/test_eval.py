@@ -183,3 +183,62 @@ def test_visualize_tool(tmp_path):
     import json
     mono = json.loads((out / "monotonicity.json").read_text())
     assert mono["blur"]["spearman_rho"] > 0.9  # level-monotone by construction
+
+
+def test_encode_folder_tool(tmp_path):
+    """tools/encode_folder: torch-free DA-CLIP folder encoding into the dump
+    layout tools/visualize consumes (the front half of the reference's
+    visualize_same_image_diff_level.py workflow), flat + nested layouts."""
+    import jax
+    import jax.numpy as jnp
+
+    from daclip_tpu.models import CLIPCfg, DaCLIP, get_model_config
+    from daclip_tpu.tools.encode_folder import main as encode_main
+    from daclip_tpu.utils.native_checkpoint import save_params_npz
+
+    cfg = CLIPCfg.from_dict(get_model_config("daclip_test-tiny"))
+    model = DaCLIP(cfg, use_predictor=False, dtype=jnp.bfloat16)
+    img = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    txt = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), image=img, text=txt)["params"]
+    npz = str(tmp_path / "tiny.npz")
+    save_params_npz(npz, params)
+
+    rng = np.random.RandomState(0)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name in ("lvl05", "lvl10", "lvl20"):
+        cv2.imwrite(str(flat / f"{name}.png"),
+                    (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    nested = tmp_path / "nested"
+    for cname in ("blur05", "noisy25"):
+        d = nested / cname / "LQ"
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / "a.png"),
+                    (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+
+    out1 = tmp_path / "emb_flat"
+    encode_main(["--input", str(flat), "--checkpoint", npz,
+                 "--model", "daclip_test-tiny", "--out", str(out1),
+                 "--batch-size", "2"])
+    feats = np.load(out1 / "all_embeddings.npy")
+    labels = np.load(out1 / "labels.npy")
+    assert feats.shape == (3, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=2e-2)
+    assert list(labels) == ["lvl05", "lvl10", "lvl20"]
+    assert (out1 / "image_embeddings.npy").exists()
+
+    out2 = tmp_path / "emb_nested"
+    encode_main(["--input", str(nested), "--checkpoint", npz,
+                 "--model", "daclip_test-tiny", "--out", str(out2),
+                 "--features", "image"])
+    labels2 = np.load(out2 / "labels.npy")
+    assert list(labels2) == ["blur05", "noisy25"]
+    np.testing.assert_array_equal(np.load(out2 / "all_embeddings.npy"),
+                                  np.load(out2 / "image_embeddings.npy"))
+
+    # the dump feeds the visualization back half directly
+    from daclip_tpu.tools import visualize as viz
+    viz.main(["--embeddings", str(out1), "--out", str(tmp_path / "viz"),
+              "--heatmap"])
+    assert (tmp_path / "viz" / "cosine_heatmap.png").exists()
