@@ -222,3 +222,33 @@ def test_webloader_refill_passes_are_reshuffled(tmp_path):
     batches = list(loader)
     assert len(batches) == 3
     assert seen_epochs == [1, 2]   # two refill passes advanced the epoch
+
+
+def test_inspect_checkpoint_tool(tmp_path, capsys):
+    """tools/inspect_checkpoint: key/shape dump for npz + orbax train dirs
+    (parity with the reference's da-clip/src/test.py:1-11 key-dump script),
+    torch-free for the native formats."""
+    from daclip_tpu.tools.inspect_checkpoint import describe, load_tree, main
+    from daclip_tpu.utils.checkpoint import save_checkpoint, wait_all
+    from daclip_tpu.utils.native_checkpoint import save_params_npz
+
+    params = {"conv": {"kernel": np.zeros((3, 3, 4, 8), np.float32),
+                       "bias": np.zeros((8,), np.float32)},
+              "scale": np.float32(2.0)}
+
+    npz = str(tmp_path / "p.npz")
+    save_params_npz(npz, params)
+    tree, fmt = load_tree(npz)
+    assert fmt == "npz"
+    stats = describe(tree, fmt, _print=lambda *a: None)
+    assert stats == {"leaves": 3, "elements": 3 * 3 * 4 * 8 + 8 + 1}
+
+    ck = str(tmp_path / "run")
+    save_checkpoint(ck, 5, {"params": params, "step": 5})
+    wait_all()
+    tree2, fmt2 = load_tree(ck)
+    assert fmt2 == "orbax (step 5)"
+    main([ck, "--keys-only", "--limit", "2"])
+    out = capsys.readouterr().out
+    assert "top-level keys: ['params', 'step']" in out
+    assert "... (" in out and "leaves" in out
