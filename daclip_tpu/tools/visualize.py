@@ -1,6 +1,7 @@
 """Embedding visualization suite — ports of the reference's analysis scripts
 (da-clip/src/visualize_diff_type_TSNE.py, visualize_all.py,
-visualize_emb_sequence.py, visualize/visualize_UMAP.py, cosine heatmaps), all
+visualize_emb_sequence.py, visualize/visualize_UMAP.py,
+visualize/visualize_diff_param.py via --param-json, cosine heatmaps), all
 operating on the .npy embedding dumps written by eval/evaluate_numclip.py;
 plus the model-free LQ/GT residual grid (visualize_img_residual.py) via
 --residual-root.
@@ -65,6 +66,51 @@ def plot_projection(feats, labels, out_path: str, method: str = "tsne",
     ax.legend(markerscale=2, fontsize=8)
     ax.set_title(f"degradation embeddings ({method})")
     fig.savefig(out_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def param_colored_projection(feats, filenames, prompts, out_path: str,
+                             method: str = "tsne", seed: int = 0):
+    """2-D projection colored by each image's continuous degradation parameter
+    (visualize/visualize_diff_param.py:30-46 behaviour): the parameter is
+    parsed from the image's degraded_prompts.json entry
+    ('«type» with parameter «p»', tools/generate_lq.py format) and drives a
+    viridis colormap.  Join is by basename, so the './'-prefixed json keys the
+    generators write match encode_folder's filenames.npy."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    by_base = {os.path.basename(str(k)): str(v) for k, v in prompts.items()}
+    params, keep = [], []
+    for i, fname in enumerate(filenames):
+        prompt = by_base.get(os.path.basename(str(fname)))
+        m = re.search(r"([\d.]+)\s*$", prompt) if prompt else None
+        if m:
+            params.append(float(m.group(1)))
+            keep.append(i)
+    if not keep:
+        raise ValueError("no filenames matched the prompts json")
+    feats = np.asarray(feats)[keep]
+
+    if method == "umap":
+        try:
+            import umap
+            proj = umap.UMAP(random_state=seed).fit_transform(feats)
+        except ImportError:
+            method = "tsne"
+    if method == "tsne":
+        from sklearn.manifold import TSNE
+        proj = TSNE(n_components=2, random_state=seed,
+                    perplexity=min(30, max(2, len(feats) // 4))).fit_transform(feats)
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    sc = ax.scatter(proj[:, 0], proj[:, 1], c=np.asarray(params),
+                    cmap="viridis", alpha=0.7, s=12)
+    fig.colorbar(sc, label="degradation parameter")
+    ax.set_title(f"parameter-colored embeddings ({method})")
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return out_path
 
@@ -169,6 +215,10 @@ def main(argv=None):
     ap.add_argument("--method", default="tsne", choices=["tsne", "umap"])
     ap.add_argument("--heatmap", action="store_true")
     ap.add_argument("--monotonicity", action="store_true")
+    ap.add_argument("--param-json", help="degraded_prompts.json from "
+                    "tools/generate_lq.py — adds a parameter-colored "
+                    "projection (visualize_diff_param.py); needs "
+                    "filenames.npy next to the embeddings")
     ap.add_argument("--residual-root", help="levels folder tree "
                     "<root>/<prefix><level>/{GT,LQ}/<image> for the residual "
                     "grid (visualize_img_residual.py)")
@@ -196,6 +246,15 @@ def main(argv=None):
     feats, labels = load_embeddings(args.embeddings)
     plot_projection(feats, labels, os.path.join(args.out, f"{args.method}.png"),
                     args.method)
+    if args.param_json:
+        import json
+        with open(args.param_json) as f:
+            prompts = json.load(f)
+        filenames = np.load(os.path.join(args.embeddings, "filenames.npy"))
+        out = param_colored_projection(
+            feats, filenames, prompts,
+            os.path.join(args.out, f"param_{args.method}.png"), args.method)
+        print(f"parameter-colored projection -> {out}")
     if args.heatmap:
         cosine_heatmap(feats, labels, os.path.join(args.out, "cosine_heatmap.png"))
     if args.monotonicity:

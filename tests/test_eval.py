@@ -163,6 +163,16 @@ def test_visualize_tool(tmp_path):
     np.save(emb / "labels.npy", np.asarray(labels))
     out = tmp_path / "viz"
 
+    # --- filenames + degraded_prompts.json for the param-colored projection
+    # (visualize_diff_param.py behaviour; keys use the generators' ./ prefix)
+    fnames = [f"im{i:02d}.png" for i in range(len(labels))]
+    np.save(emb / "filenames.npy", np.asarray(fnames))
+    prompts = {f"./{f}": f"blur with parameter {1.0 + (i % 3)}"
+               for i, f in enumerate(fnames)}
+    import json
+    pjson = tmp_path / "degraded_prompts.json"
+    pjson.write_text(json.dumps(prompts))
+
     # --- residual tree: <root>/<prefix><level>/{GT,LQ}/img.png ---
     root = tmp_path / "levels"
     img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
@@ -176,11 +186,10 @@ def test_visualize_tool(tmp_path):
 
     viz.main(["--embeddings", str(emb), "--out", str(out), "--heatmap",
               "--monotonicity", "--residual-root", str(root),
-              "--residual-levels", "1.0,2.0"])
+              "--residual-levels", "1.0,2.0", "--param-json", str(pjson)])
     for name in ("tsne.png", "cosine_heatmap.png", "monotonicity.json",
-                 "residual_grid.png"):
+                 "residual_grid.png", "param_tsne.png"):
         assert (out / name).exists(), name
-    import json
     mono = json.loads((out / "monotonicity.json").read_text())
     assert mono["blur"]["spearman_rho"] > 0.9  # level-monotone by construction
 
