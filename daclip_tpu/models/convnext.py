@@ -191,13 +191,16 @@ def build_timm_tower(model_name: str, embed_dim: int, pool: str = "",
         if pool not in ("", "avg", "token"):
             raise ValueError(
                 f"pool={pool!r} not supported for native timm-vit towers")
+        if pool == "token" and not TIMM_VIT_VARIANTS[model_name]["class_token"]:
+            raise ValueError(
+                f"pool='token' requires a class token; {model_name} has none")
         if proj not in (None, "", "linear"):
             raise ValueError(
                 f"proj={proj!r} not supported for native timm-vit towers "
                 "(the vendored configs use proj='linear')")
         return TimmViTTower(model_name=model_name, embed_dim=embed_dim,
-                            image_size=image_size, drop=drop, remat=remat,
-                            dtype=dtype)
+                            image_size=image_size, pool=pool, drop=drop,
+                            remat=remat, dtype=dtype)
     raise ImportError(
         f"timm tower {model_name!r} requested: the natively implemented "
         "families are convnext_* (models/convnext.py), eva*/eva02_* "

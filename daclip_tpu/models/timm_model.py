@@ -2,10 +2,12 @@
 
 The reference wraps arbitrary `timm` backbones as CLIP vision towers
 (`vision_cfg.timm_model_name`).  timm is torch-only and not part of this TPU
-image, but the convnext_* family — the only timm family among the vendored
-model configs with a sane TPU mapping — is implemented natively in flax
-(models/convnext.py, NHWC depthwise/pointwise convs).  Everything else
-(EVA / swin / vit_* timm variants) gates cleanly with migration guidance.
+image; every timm family the vendored model configs name is implemented
+natively in flax instead — convnext_* (models/convnext.py), eva*/eva02_*
+(models/eva.py), swin_base_patch4_window7_224 (models/swin.py), and
+vit_{medium_patch16_gap_256,relpos_medium_patch16_cls_224}
+(models/timm_vit.py) — each parity-pinned against a torch-functional
+oracle.  Unknown timm backbones raise ImportError with migration guidance.
 
 This module is the compatibility entry point matching the reference's class
 name; `CLIP.setup` dispatches through `convnext.build_timm_tower` directly.
@@ -19,7 +21,8 @@ def TimmModel(model_name: str, embed_dim: int = 512, image_size: int = 224,
               pool: str = "", proj: str = "linear", drop: float = 0.0,
               drop_path=None, **_ignored):
     """Reference-signature factory (timm_model.py:33-46): returns a flax
-    module for convnext_*, raises ImportError for torch-only families."""
+    module for the natively implemented families, raises ImportError for
+    unknown timm backbones."""
     return build_timm_tower(model_name, embed_dim, pool=pool, proj=proj,
                             drop=drop, drop_path=drop_path,
                             image_size=image_size)

@@ -10,11 +10,21 @@ network-default pooling, then a bias-free adapter Linear to embed_dim):
     pool (fc_norm=False).
   * vit_relpos_medium_patch16_cls_224 — timm VisionTransformerRelPos model
     def: width 512, depth 12, heads 8, patch 16 @ 224px, class token +
-    'token' pooling, qkv without bias, NO absolute position embedding; each
-    block's attention adds a relative-position bias produced by a small MLP
-    over signed-log relative coordinates (timm RelPosMlp, mode='cr': 2 →
-    ReLU(128) → heads, gathered into (N, N) by the standard relative-index
-    table and zero-padded for the cls prefix).
+    'token' pooling, qkv without bias, LayerScale (VisionTransformerRelPos
+    defaults init_values=1e-6, unlike plain VisionTransformer), NO absolute
+    position embedding; each block's attention adds a relative-position bias
+    produced by a small MLP over signed-log relative coordinates (timm
+    RelPosMlp, mode='cr': 2 → ReLU(rel_pos_dim=384 per the model def) →
+    heads, gathered into (N, N) by the standard relative-index table and
+    zero-padded for the cls prefix).
+
+timm facts above (relpos init_values default, rel_pos_dim=384) are from the
+timm source the reference pins transitively; timm itself is absent from this
+image (zero egress), so they are additionally guarded at load time:
+`utils/torch_convert.convert_timm_vit_visual` stacks whatever LayerScale /
+RelPosMlp widths the checkpoint carries, and `TIMM_VIT_VARIANTS` is a
+mutable registry — if a real checkpoint disagrees, loading fails loudly on
+the shape mismatch and the table entry is the one-line fix.
 
 timm itself is torch-only and absent from this image; parity is pinned
 against a hand-written torch-functional oracle
@@ -45,8 +55,8 @@ TIMM_VIT_VARIANTS = {
         relpos=False),
     "vit_relpos_medium_patch16_cls_224": dict(
         patch=16, width=512, depth=12, heads=8, mlp_ratio=4.0,
-        qkv_bias=False, class_token=True, pool="token", ls_init=None,
-        relpos=True),
+        qkv_bias=False, class_token=True, pool="token", ls_init=1e-6,
+        relpos=True, rel_pos_dim=384),
 }
 
 
@@ -79,6 +89,7 @@ class TimmViTBlock(nn.Module):
     qkv_bias: bool = True
     ls_init: Optional[float] = None
     relpos: bool = False
+    rel_pos_hidden: int = 128  # timm RelPosMlp hidden_dim default
     prefix_tokens: int = 0
     dtype: Dtype = jnp.float32
 
@@ -105,9 +116,9 @@ class TimmViTBlock(nn.Module):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
             logits = logits * (hd ** -0.5)
             if self.relpos:
-                # RelPosMlp 'cr': 2 -> ReLU(128) -> heads on log-coords,
+                # RelPosMlp 'cr': 2 -> ReLU(hidden) -> heads on log-coords,
                 # gathered to (N, N), zero-padded over prefix tokens
-                h1 = nn.relu(nn.Dense(128, dtype=jnp.float32,
+                h1 = nn.relu(nn.Dense(self.rel_pos_hidden, dtype=jnp.float32,
                                       name="relpos_fc1")(coords))
                 tab = nn.Dense(H, dtype=jnp.float32, name="relpos_fc2")(h1)
                 np_ = N - self.prefix_tokens
@@ -140,6 +151,7 @@ class TimmViTTower(nn.Module):
     model_name: str
     embed_dim: int
     image_size: int = 224
+    pool: str = ""  # ""=network default; "avg"/"token" = reset_classifier override
     drop: float = 0.0
     remat: bool = False
     dtype: Dtype = jnp.float32
@@ -189,11 +201,20 @@ class TimmViTTower(nn.Module):
             length=cfg["depth"],
         )(width=D, heads=cfg["heads"], hidden=int(D * cfg["mlp_ratio"]),
           qkv_bias=cfg["qkv_bias"], ls_init=cfg["ls_init"],
-          relpos=cfg["relpos"], prefix_tokens=prefix, dtype=self.dtype,
+          relpos=cfg["relpos"],
+          rel_pos_hidden=cfg.get("rel_pos_dim") or 128,
+          prefix_tokens=prefix, dtype=self.dtype,
           name="blocks")(x, (coords, index))
 
         x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
-        x = x[:, 0] if cfg["pool"] == "token" else jnp.mean(x, axis=1)
+        # non-empty pool = the reference's reset_classifier(global_pool=pool)
+        # override (timm_model.py:82); "" keeps the network default
+        pool = self.pool or cfg["pool"]
+        if pool == "token" and not cfg["class_token"]:
+            raise ValueError(
+                f"pool='token' requires a class token; {self.model_name} "
+                "has none (timm would fail the same way)")
+        x = x[:, 0] if pool == "token" else jnp.mean(x[:, prefix:], axis=1)
         if train and self.drop > 0.0 and self.has_rng("dropout"):
             x = nn.Dropout(self.drop, deterministic=False)(x)
         return nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,

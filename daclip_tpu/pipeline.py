@@ -65,16 +65,20 @@ def _adaptive_tile_axis(D: int, ts_max: int, ov: int, step: int, sizes=None):
         # below) always honors the "multiple of step" contract; n computed
         # from the floored max still guarantees the needed t fits under it
         ts_max -= ts_max % step
+
+    def snap(t):
+        # snap UP to the smallest bucket ≥ t that still fits under ts_max
+        if sizes:
+            for s in sorted(sizes):
+                if t <= s <= ts_max:
+                    return int(s)
+        return t
+
     if D <= ts_max:
-        return [0], int(math.ceil(D / step) * step)
+        return [0], snap(int(math.ceil(D / step) * step))
     n = int(math.ceil((D - ov) / (ts_max - ov)))
     t = int(math.ceil(max((D + (n - 1) * ov) / n, 2 * ov) / step) * step)
-    t = min(t, ts_max)
-    if sizes:
-        for s in sorted(sizes):
-            if t <= s <= ts_max:
-                t = int(s)
-                break
+    t = snap(min(t, ts_max))
     return [int(round(i * (D - t) / (n - 1))) for i in range(n)], t
 
 

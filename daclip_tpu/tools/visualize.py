@@ -86,7 +86,7 @@ def param_colored_projection(feats, filenames, prompts, out_path: str,
     params, keep = [], []
     for i, fname in enumerate(filenames):
         prompt = by_base.get(os.path.basename(str(fname)))
-        m = re.search(r"([\d.]+)\s*$", prompt) if prompt else None
+        m = re.search(r"(\d+(?:\.\d+)?)\.?\s*$", prompt) if prompt else None
         if m:
             params.append(float(m.group(1)))
             keep.append(i)

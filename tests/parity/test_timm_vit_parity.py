@@ -10,10 +10,10 @@ network-default pooling, bias-free adapter Linear to embed_dim):
     bias-free qkv, LayerScale, final norm BEFORE global average pooling
     (fc_norm=False in the vendored model def).
   * VisionTransformerRelPos (vit_relpos_*_cls_*): class token + 'token'
-    pooling, NO abs pos embed; per-block RelPosMlp bias (mode='cr':
-    signed-log relative coords → Linear(2,128) → ReLU → Linear(128,heads),
-    gathered by the standard relative index, zero-padded over the cls
-    prefix).
+    pooling, LayerScale (init_values=1e-6 is the class default), NO abs pos
+    embed; per-block RelPosMlp bias (mode='cr': signed-log relative coords →
+    Linear(2,rel_pos_dim) → ReLU → Linear(rel_pos_dim,heads), gathered by
+    the standard relative index, zero-padded over the cls prefix).
 
 Weights travel through utils/torch_convert.convert_timm_vit_visual (via the
 convert_timm_visual dispatcher), pinning module AND converter schema.
@@ -40,8 +40,8 @@ TINY = {
         relpos=False),
     "vit_parity_relpos": dict(
         patch=PATCH, width=WIDTH, depth=DEPTH, heads=HEADS, mlp_ratio=2.0,
-        qkv_bias=False, class_token=True, pool="token", ls_init=None,
-        relpos=True),
+        qkv_bias=False, class_token=True, pool="token", ls_init=1e-1,
+        relpos=True, rel_pos_dim=48),
 }
 
 
@@ -79,9 +79,10 @@ def make_state_dict(rng, cfg):
             sd[f"{b}.ls1.gamma"] = cfg["ls_init"] + r(D) * 0.01
             sd[f"{b}.ls2.gamma"] = cfg["ls_init"] + r(D) * 0.01
         if cfg["relpos"]:
-            sd[f"{b}.attn.rel_pos.mlp.fc1.weight"] = r(128, 2)
-            sd[f"{b}.attn.rel_pos.mlp.fc1.bias"] = r(128)
-            sd[f"{b}.attn.rel_pos.mlp.fc2.weight"] = r(HEADS, 128)
+            rpd = cfg["rel_pos_dim"]
+            sd[f"{b}.attn.rel_pos.mlp.fc1.weight"] = r(rpd, 2)
+            sd[f"{b}.attn.rel_pos.mlp.fc1.bias"] = r(rpd)
+            sd[f"{b}.attn.rel_pos.mlp.fc2.weight"] = r(HEADS, rpd)
             sd[f"{b}.attn.rel_pos.mlp.fc2.bias"] = r(HEADS)
         sd[f"{b}.mlp.fc1.weight"] = r(hid, D)
         sd[f"{b}.mlp.fc1.bias"] = r(hid)

@@ -169,6 +169,7 @@ def test_visualize_tool(tmp_path):
     np.save(emb / "filenames.npy", np.asarray(fnames))
     prompts = {f"./{f}": f"blur with parameter {1.0 + (i % 3)}"
                for i, f in enumerate(fnames)}
+    prompts[f"./{fnames[0]}"] += "."  # sentence-final period must still parse
     import json
     pjson = tmp_path / "degraded_prompts.json"
     pjson.write_text(json.dumps(prompts))

@@ -119,6 +119,13 @@ def test_adaptive_tile_axis_invariants():
     # size buckets snap UP (bounded compile shapes), never past ts_max
     assert _adaptive_tile_axis(513, 512, 64, 64, (256, 384, 512)) \
         == ([0, 129], 384)  # raw need is 320 → snapped to 384
+    # ... including the single-tile (D <= ts_max) branch: the SMALL axis of a
+    # mixed-resolution input must also land on a bucket, or serving
+    # 1200x300/1200x340/... compiles one sampler shape per width
+    assert _adaptive_tile_axis(300, 512, 64, 64, (256, 384, 512)) \
+        == ([0], 384)
+    assert _adaptive_tile_axis(200, 512, 64, 64, (256, 384, 512)) \
+        == ([0], 256)
     for D in [65, 100, 128, 150, 208, 300, 511, 513, 640, 1000, 1024, 2048]:
         for ts, ov, step in [(512, 64, 64), (64, 16, 16), (256, 32, 64)]:
             for sizes in (None, (ts // 2, 3 * ts // 4, ts)):

@@ -248,7 +248,9 @@ def _match_family(name):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 32 forward (bench config), 16 --train "
+                    "(production train config)")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--min-ms", type=float, default=0.5)
@@ -273,7 +275,7 @@ def main(argv=None):
         from daclip_tpu.train.restoration import (RestorationTrainConfig,
                                                   init_state, make_train_step)
 
-        B = 16 if args.batch == 32 else args.batch  # train default is B16
+        B = 16 if args.batch is None else args.batch  # train default is B16
         S = args.size
         net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
                               use_degra_context=True, use_image_context=True,
@@ -307,7 +309,7 @@ def main(argv=None):
         roofline(trace_dir, args.chain, args.min_ms, calls)
         return
 
-    B, S = args.batch, args.size
+    B, S = (32 if args.batch is None else args.batch), args.size
     net = ConditionalUNet(nf=64, ch_mult=(1, 2, 4, 8), context_dim=512,
                           use_degra_context=True, use_image_context=True,
                           dtype=jnp.bfloat16)
