@@ -14,11 +14,15 @@ network-default pooling, then a bias-free adapter Linear to embed_dim):
     defaults init_values=1e-6, unlike plain VisionTransformer), NO absolute
     position embedding; each block's attention adds a relative-position bias
     produced by a small MLP over signed-log relative coordinates (timm
-    RelPosMlp, mode='cr': 2 → ReLU(rel_pos_dim=384 per the model def) →
+    RelPosMlp, mode='cr': 2 → ReLU(rel_pos_dim=256 per the model def) →
     heads, gathered into (N, N) by the standard relative-index table and
-    zero-padded for the cls prefix).
+    zero-padded for the cls prefix).  rel_pos_dim=256 is the medium-variant
+    constant in timm's vision_transformer_relpos.py (384 belongs to
+    vit_srelpos_small_patch16_224, where it equals embed_dim); with zero
+    egress this cannot be re-checked against a live timm install, so it is
+    recorded here and guarded at load time as described below.
 
-timm facts above (relpos init_values default, rel_pos_dim=384) are from the
+timm facts above (relpos init_values default, rel_pos_dim=256) are from the
 timm source the reference pins transitively; timm itself is absent from this
 image (zero egress), so they are additionally guarded at load time:
 `utils/torch_convert.convert_timm_vit_visual` stacks whatever LayerScale /
@@ -56,7 +60,7 @@ TIMM_VIT_VARIANTS = {
     "vit_relpos_medium_patch16_cls_224": dict(
         patch=16, width=512, depth=12, heads=8, mlp_ratio=4.0,
         qkv_bias=False, class_token=True, pool="token", ls_init=1e-6,
-        relpos=True, rel_pos_dim=384),
+        relpos=True, rel_pos_dim=256),
 }
 
 

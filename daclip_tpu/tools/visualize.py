@@ -92,6 +92,10 @@ def param_colored_projection(feats, filenames, prompts, out_path: str,
             keep.append(i)
     if not keep:
         raise ValueError("no filenames matched the prompts json")
+    if len(keep) < len(filenames):
+        print(f"param_colored_projection: matched {len(keep)}/{len(filenames)} "
+              "filenames against the prompts json (unmatched basenames or "
+              "prompts without a trailing parameter are dropped)")
     feats = np.asarray(feats)[keep]
 
     if method == "umap":
