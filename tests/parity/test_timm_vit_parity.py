@@ -190,3 +190,35 @@ def test_convert_timm_visual_dispatches_vit(tiny_variants):
     assert set(a) == set(b)
     np.testing.assert_array_equal(a["blocks"]["qkv"]["kernel"],
                                   b["blocks"]["qkv"]["kernel"])
+
+
+def test_relpos_registry_matches_real_checkpoint_when_available():
+    """The rel_pos_dim registry constant (256 for the medium cls variant —
+    timm vision_transformer_relpos.py model def; unverifiable live under zero
+    egress) against any REAL checkpoint on this host: skipped until one is
+    downloadable, then pins the constant to the shipped weights."""
+    import glob
+    import os
+
+    candidates = sorted(
+        glob.glob(os.path.join("pretrained", "*.pt"))
+        + glob.glob(os.path.expanduser("~/.cache/clip/*.pt")))
+    fc1_key = "visual.trunk.blocks.0.attn.rel_pos.mlp.fc1.weight"
+    checked = 0
+    for path in candidates:
+        try:
+            sd = torch.load(path, map_location="cpu")
+        except Exception:
+            continue
+        sd = sd.get("state_dict", sd)
+        if fc1_key not in sd:
+            continue
+        want = TIMM_VIT_VARIANTS["vit_relpos_medium_patch16_cls_224"][
+            "rel_pos_dim"]
+        assert sd[fc1_key].shape[0] == want, (
+            f"{path}: checkpoint RelPosMlp width {sd[fc1_key].shape[0]} != "
+            f"registry rel_pos_dim {want} — fix TIMM_VIT_VARIANTS")
+        checked += 1
+    if not checked:
+        pytest.skip("no relpos timm checkpoint on this host (zero egress; "
+                    "see tests/parity/EGRESS.md)")
