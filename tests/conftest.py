@@ -44,6 +44,25 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 REFERENCE = pathlib.Path("/root/reference")
 sys.path.insert(0, str(REPO))
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables_per_module():
+    """Full-suite runs (and only full-suite runs) have repeatedly segfaulted
+    inside XLA:CPU's LLVM compile at a *tiny* graph ~230 tests in, while every
+    module subset — including the crashing module alone and each half of the
+    suite — is green: the signature of cumulative per-process JIT state (live
+    compiled executables / code pages across hundreds of compiles), not of any
+    one test.  The RLIMIT_STACK raise above did not help (the stack reservation
+    is fixed at exec time), so cap the accumulation instead: drop every live
+    jitted executable at each module boundary.  Cross-module cache reuse is
+    ~nil (each module builds its own tiny models), so this costs nothing.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
 requires_reference = pytest.mark.skipif(
     not REFERENCE.exists(),
     reason="upstream reference checkout not available (parity tests are dev-only)",
