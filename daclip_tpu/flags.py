@@ -28,9 +28,10 @@ PALLAS_CONV = _on("DACLIP_TPU_PALLAS_CONV", "0")
 ATTN_PACK = _on("DACLIP_TPU_ATTN_PACK", "0")         # pixel-pair packing, off
 V5_PALLAS_BWD = _on("DACLIP_TPU_V5_PALLAS_BWD", "1")  # Pallas bwd kernels
 V5_MANUAL_BWD = _on("DACLIP_TPU_V5_MANUAL_BWD", "1")  # manual-vjp fallback
-V5_DY_SPILL = _on("DACLIP_TPU_V5_DY_SPILL", "0")      # bwd1 spills dy_b for
+V5_DY_SPILL = _on("DACLIP_TPU_V5_DY_SPILL", "1")      # bwd1 spills dy_b for
 #   bwd2 (skips bwd2's postnorm recompute; bit-identical — dy only feeds bwd2
-#   through its bf16 cast).  Off until the TPU A/B shows a win.
+#   through its bf16 cast).  TPU A/B (round 5, tools/profile_train chain 10,
+#   B16/256²/remat): 183.7-185.0 ms/step vs 186.9-187.4 off — adopted.
 
 # --- ops/pointwise.py: opt-in fused 1x1 conv (lost e2e) ---
 POINTWISE = _on("DACLIP_TPU_POINTWISE", "0")
