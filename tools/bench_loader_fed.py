@@ -12,6 +12,9 @@ Configs:
   mdgt  — GT-only + on-the-fly random_degrade (wild-ir trainer feed,
           train.yml:26), B32/256²; --lq-cache N exercises the synthesis cache
   mdgt-cache — mdgt with lq_cache=4*B, refresh 0.25
+  csv   — DA-CLIP fork trainer fed by the real CsvDataset --da pipeline
+          (decode LQ+GT pairs, 224² transform, 154-token captions, bin/token
+          banks), frozen ViT-B-32 + controller + predictor, B128
 
 Timing discipline (axon tunnel): every timed window ends in a host read of
 the step loss; batches differ step to step so no result caching applies.
@@ -45,6 +48,92 @@ def make_corpus(n, size, paired):
             cv2.imwrite(os.path.join(root, "LQ", f"{i:04d}.jpg"), lq,
                         [cv2.IMWRITE_JPEG_QUALITY, 92])
     return root
+
+
+def make_csv_corpus(n, size):
+    """LQ/GT jpeg pairs + the reference TSV layout (filepath, title with
+    'caption| <type> with parameter <p>' — training/data.py:52-61)."""
+    import cv2
+    import numpy as np
+
+    root = tempfile.mkdtemp(prefix="daclip_loaderfed_csv_")
+    os.makedirs(os.path.join(root, "LQ"))
+    os.makedirs(os.path.join(root, "GT"))
+    rng = np.random.default_rng(0)
+    degs = [("blur", "2.0"), ("noisy", "20.0"), ("jpeg", "40.0"),
+            ("resize", "2.0")]
+    rows = []
+    for i in range(n):
+        img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "GT", f"{i:04d}.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 92])
+        lq = cv2.GaussianBlur(img, (0, 0), 1.5)
+        path = os.path.join(root, "LQ", f"{i:04d}.jpg")
+        cv2.imwrite(path, lq, [cv2.IMWRITE_JPEG_QUALITY, 92])
+        d, p = degs[i % len(degs)]
+        rows.append(f"{path}\ta photo of sample {i}| {d} with parameter {p}")
+    tsv = os.path.join(root, "train.tsv")
+    with open(tsv, "w") as f:
+        f.write("filepath\ttitle\n" + "\n".join(rows) + "\n")
+    return tsv
+
+
+def run_csv_config(args):
+    """Loader-fed DA-CLIP trainer: CsvDataset --da → DataLoader →
+    device_prefetch → the production fork train step (frozen ViT-B-32 +
+    controller + predictor, same construction as tools/profile_clip_train)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daclip_tpu.data.csv_dataset import CsvDataset
+    from daclip_tpu.data.loader import DataLoader, device_prefetch
+    from daclip_tpu.factory import create_model_and_transforms
+    from daclip_tpu.train.clip_train import (ClipTrainConfig, init_state,
+                                             make_train_step,
+                                             partition_daclip_params)
+
+    B = 128  # 1100 samples/s device rate at B128 no-remat (BASELINE.md)
+    # the corpus must cover at least a few FULL batches — the loader drops
+    # incomplete tails, and a corpus < B would yield zero batches per epoch
+    # (prefetch would then block forever before the first compile)
+    tsv = make_csv_corpus(max(args.corpus, 3 * B), 256)
+    print("csv corpus ready; building model + compiling the fork step...")
+    model, params, pp_train, _ = create_model_and_transforms(
+        "daclip_ViT-B-32", precision="bf16", use_predictor=True)
+    ds = CsvDataset(tsv, pp_train, da=True, seed=0)
+    banks = tuple(jnp.asarray(b) for b in ds.banks())
+    loader = DataLoader(ds, batch_size=B, shuffle=True,
+                        num_workers=args.workers, seed=0)
+
+    trainable, frozen = partition_daclip_params(params)
+    cfg = ClipTrainConfig(variant="fork")
+    step_fn = make_train_step(model.apply, None, cfg, banks=banks)
+    state = init_state(trainable, cfg)
+
+    def batches():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            for b in loader:
+                yield {k: np.ascontiguousarray(v) for k, v in b.items()}
+            epoch += 1
+
+    it = device_prefetch(batches())
+    for _ in range(3):
+        state, m = step_fn(state, next(it), frozen=frozen)
+    _ = float(m["total_loss"])  # host read: warmup (incl. compile) done
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, m = step_fn(state, next(it), frozen=frozen)
+    loss = float(m["total_loss"])  # host read ends the timed window
+    dt = time.time() - t0
+    sps = args.steps * B / dt
+    print(f"csv: {sps:.1f} samples/s sustained loader-fed "
+          f"({args.steps} steps x B{B} 224^2 in {dt:.1f}s, "
+          f"workers={args.workers}, final loss {loss:.4f})")
+    return sps
 
 
 def run_config(name, args):
@@ -128,7 +217,7 @@ def run_config(name, args):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="all",
-                    choices=["md", "mdgt", "mdgt-cache", "all"])
+                    choices=["md", "mdgt", "mdgt-cache", "csv", "all"])
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--corpus", type=int, default=48)
     ap.add_argument("--img", type=int, default=512)
@@ -136,10 +225,10 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--lq-cache", type=int, default=0)
     args = ap.parse_args(argv)
-    names = (["md", "mdgt", "mdgt-cache"] if args.config == "all"
+    names = (["md", "mdgt", "mdgt-cache", "csv"] if args.config == "all"
              else [args.config])
     for n in names:
-        run_config(n, args)
+        run_csv_config(args) if n == "csv" else run_config(n, args)
 
 
 if __name__ == "__main__":
