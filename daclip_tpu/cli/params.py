@@ -188,6 +188,11 @@ def parse_args(args=None):
     parser.add_argument("--debug-nans", action="store_true", default=False)
     parser.add_argument("--uir-variant", action="store_true", default=False,
                         help="original DA-CLIP loss instead of the fork's")
+    parser.add_argument("--fast-clip-view", action="store_true", default=False,
+                        help="cv2 decode + cv2/numpy train transform for the "
+                             "csv pipeline (throughput-bound hosts; same "
+                             "geometry, different resample kernel than the "
+                             "parity PIL path — not for parity evals)")
 
     args = parser.parse_args(args)
 

@@ -155,10 +155,19 @@ def main(argv=None):
             ds_type = "csv"
     banks = None
     if ds_type == "csv":
+        if args.fast_clip_view:
+            # opt-in cv2 pipeline for throughput-bound hosts: same crop
+            # geometry/rng draws, different resample kernel than the parity
+            # PIL path (transforms.image_transform docstring)
+            from daclip_tpu.transforms import image_transform
+            pp_train = image_transform(
+                clip_cfg.vision.image_size, is_train=True,
+                mean=args.image_mean, std=args.image_std, backend="cv2")
         ds = CsvDataset(args.train_data, pp_train, args.csv_img_key,
                         args.csv_caption_key, args.csv_separator,
                         tokenizer=tokenizer, da=args.da,
-                        crop=args.crop, seed=args.seed)
+                        crop=args.crop, seed=args.seed,
+                        decode="cv2" if args.fast_clip_view else "pil")
         banks = ds.banks()
         loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
                             num_workers=args.workers, seed=args.seed)

@@ -75,12 +75,19 @@ def parse_degradations(degradation: str) -> Dict[str, float]:
 
 
 def _random_crop_pil(im, low_size=64, rng=None):
-    """data.py:29-34 (note the reference swaps h/w from PIL .size — kept)."""
+    """data.py:29-34 (note the reference swaps h/w from PIL .size — kept).
+    Accepts a PIL image or an HWC ndarray (cv2 decode path) — identical box
+    geometry and rng draws either way."""
     rng = rng or random
-    h, w = im.size
+    is_arr = not hasattr(im, "crop")
+    # PIL .size is (width, height); the reference names them (h, w) — kept
+    h, w = (im.shape[1], im.shape[0]) if is_arr else im.size
     size = rng.randint(low_size, min(h, w))
     rnd_h = rng.randint(0, max(0, h - size))
     rnd_w = rng.randint(0, max(0, w - size))
+    if is_arr:
+        # PIL crop box is (left, upper, right, lower) = (x0, y0, x1, y1)
+        return im[rnd_w:rnd_w + size, rnd_h:rnd_h + size]
     return im.crop((rnd_h, rnd_w, rnd_h + size, rnd_w + size))
 
 
@@ -95,11 +102,17 @@ class CsvDataset:
                  img_key: str = "filepath", caption_key: str = "title",
                  sep: str = "\t", tokenizer: Callable = default_tokenize,
                  da: bool = False, crop: bool = False, exact_bins: bool = False,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, decode: str = "pil"):
+        # decode="cv2" is the opt-in fast path (pairs with
+        # transforms.image_transform(backend="cv2")): cv2.imread instead of a
+        # PIL decode + convert round-trip per image. Same pixels for 8-bit
+        # sources; keep "pil" (default) for parity evals.
+        assert decode in ("pil", "cv2"), decode
         self.transforms = transforms
         self.tokenize = tokenizer
         self.da = da
         self.crop = crop
+        self.decode = decode
         self.rng = random.Random(seed)
 
         self.images: List[str] = []
@@ -128,11 +141,22 @@ class CsvDataset:
     def __len__(self):
         return len(self.captions)
 
-    def __getitem__(self, idx: int) -> Dict:
+    def _open(self, path: str):
+        if self.decode == "cv2":
+            import cv2
+            import numpy as np
+
+            arr = cv2.imread(path, cv2.IMREAD_COLOR)
+            if arr is None:
+                raise FileNotFoundError(path)
+            return np.ascontiguousarray(arr[:, :, ::-1])  # BGR -> RGB uint8
         from PIL import Image
 
-        image = Image.open(str(self.images[idx]))
-        gt_image = Image.open(str(self.images[idx]).replace("LQ", "GT"))
+        return Image.open(path)
+
+    def __getitem__(self, idx: int) -> Dict:
+        image = self._open(str(self.images[idx]))
+        gt_image = self._open(str(self.images[idx]).replace("LQ", "GT"))
         texts = str(self.captions[idx])
         sample = self.samples[idx]
 

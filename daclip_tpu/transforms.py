@@ -130,16 +130,28 @@ def image_transform(image_size: Union[int, Tuple[int, int]] = 224,
                     mean: Optional[Sequence[float]] = None,
                     std: Optional[Sequence[float]] = None,
                     scale: Tuple[float, float] = (0.9, 1.0),
-                    seed: Optional[int] = None):
+                    seed: Optional[int] = None,
+                    backend: str = "pil"):
     """Returns fn(image) -> (H, W, 3) normalized f32, HWC.
 
     image: PIL image, uint8 HWC, or [0,1] float HWC numpy array.
+
+    backend: "pil" (default — bit-close to the reference's torchvision/PIL
+    path, required for eval/PSNR parity) or "cv2" — an opt-in fast path for
+    training-throughput-bound hosts: cv2/numpy end to end, INTER_AREA
+    downscale (box antialiasing, the standard cv2 stand-in for PIL's
+    antialiased bicubic) / INTER_CUBIC upscale.  Same geometry (shorter-side
+    resize + center crop; RandomResizedCrop with the same rng draws), NOT the
+    same resample kernel — do not use it for parity evals.
     """
     mean = tuple(mean or OPENAI_DATASET_MEAN)
     std = tuple(std or OPENAI_DATASET_STD)
     if isinstance(image_size, (tuple, list)):
         image_size = image_size[0]
     rng = random.Random(seed) if seed is not None else None
+    if backend == "cv2":
+        return _cv2_transform(image_size, is_train, mean, std, scale, rng)
+    assert backend == "pil", backend
 
     def val_fn(img):
         return clip_transform(img, image_size, mean, std)
@@ -148,5 +160,63 @@ def image_transform(image_size: Union[int, Tuple[int, int]] = 224,
         im = _to_pil(img).convert("RGB")
         im = _random_resized_crop(im, image_size, scale=scale, rng=rng)
         return _normalize(np.asarray(im), mean, std)
+
+    return train_fn if is_train else val_fn
+
+
+def _to_u8rgb(img) -> np.ndarray:
+    """Any accepted input → uint8 HWC RGB ndarray without a PIL round-trip."""
+    if isinstance(img, Image.Image):
+        return np.asarray(img.convert("RGB"))
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def _cv2_resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    import cv2
+
+    shrinking = w * h < arr.shape[0] * arr.shape[1]
+    return cv2.resize(arr, (w, h), interpolation=cv2.INTER_AREA if shrinking
+                      else cv2.INTER_CUBIC)
+
+
+def _cv2_transform(size: int, is_train: bool, mean, std, scale,
+                   rng: Optional[random.Random]):
+    def val_fn(img):
+        arr = _to_u8rgb(img)
+        h, w = arr.shape[:2]
+        if w <= h:
+            nw, nh = size, max(1, int(round(size * h / w)))
+        else:
+            nw, nh = max(1, int(round(size * w / h))), size
+        arr = _cv2_resize(arr, nw, nh)
+        h, w = arr.shape[:2]
+        top = int(round((h - size) / 2.0))
+        left = int(round((w - size) / 2.0))
+        return _normalize(arr[top:top + size, left:left + size], mean, std)
+
+    def train_fn(img):
+        arr = _to_u8rgb(img)
+        h, w = arr.shape[:2]
+        r = rng or random
+        area = w * h
+        log_ratio = (math.log(3 / 4), math.log(4 / 3))
+        for _ in range(10):
+            target_area = area * r.uniform(scale[0], scale[1])
+            aspect = math.exp(r.uniform(log_ratio[0], log_ratio[1]))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                left = r.randint(0, w - cw)
+                top = r.randint(0, h - ch)
+                crop = arr[top:top + ch, left:left + cw]
+                return _normalize(_cv2_resize(crop, size, size), mean, std)
+        return val_fn(arr)
 
     return train_fn if is_train else val_fn

@@ -75,6 +75,26 @@ def test_image_transform_train_random_crop_deterministic_seed():
     assert t1(img).shape == (32, 32, 3)
 
 
+def test_cv2_backend_matches_pil_geometry_and_values():
+    # smooth gradient: the cv2 fast path (INTER_AREA/INTER_CUBIC) must land
+    # close to the PIL-bicubic parity path — same geometry, different kernel
+    ramp = np.linspace(0, 255, 96, dtype=np.float32)
+    img = np.broadcast_to(ramp[None, :, None], (80, 96, 3)).astype(np.uint8)
+    img = np.ascontiguousarray(img)
+    pil = image_transform(32, is_train=False)(img)
+    fast = image_transform(32, is_train=False, backend="cv2")(img)
+    assert fast.shape == pil.shape == (32, 32, 3)
+    assert np.abs(fast - pil).mean() < 0.05  # normalized units
+
+    # train path: same seed -> same crop-box rng draws in both backends
+    src = (np.random.RandomState(3).rand(64, 64, 3) * 255).astype(np.uint8)
+    a = image_transform(32, is_train=True, seed=11, backend="cv2")(src)
+    b = image_transform(32, is_train=True, seed=11, backend="cv2")(src)
+    np.testing.assert_array_equal(a, b)
+    pil_t = image_transform(32, is_train=True, seed=11)(src)
+    assert np.abs(a - pil_t).mean() < 0.6  # same box, kernel-level difference
+
+
 def test_resize_max_size():
     img = np.ones((100, 50, 3), np.uint8) * 255
     out = resize_max_size(img, 64, fill_color=0)

@@ -55,6 +55,14 @@ def test_csv_dataset_da_mode(tmp_path):
     centers, tokens = ds.banks()
     assert centers.shape == (4, 7) and tokens.shape == (28, 77)
 
+    # opt-in cv2 decode path: bit-identical pixels for PNG sources
+    fast = CsvDataset(str(csv_path), image_transform(64, is_train=False),
+                      da=True, seed=0, decode="cv2")
+    f = fast[0]
+    np.testing.assert_array_equal(f["images"], s["images"])
+    np.testing.assert_array_equal(f["gt_images"], s["gt_images"])
+    np.testing.assert_array_equal(f["texts"], s["texts"])
+
 
 def test_synthetic_dataset():
     ds = SyntheticDataset(dataset_size=5, da=True)

@@ -108,7 +108,9 @@ def run_csv_config(args):
 
     trainable, frozen = partition_daclip_params(params)
     cfg = ClipTrainConfig(variant="fork")
-    step_fn = make_train_step(model.apply, None, cfg, banks=banks)
+    # jit here exactly like cli/train_daclip.py does — make_train_step
+    # returns the UNJITTED step (frozen params must enter as jit arguments)
+    step_fn = jax.jit(make_train_step(model.apply, None, cfg, banks=banks))
     state = init_state(trainable, cfg)
 
     def batches():
