@@ -158,11 +158,20 @@ def main(argv=None):
         if args.fast_clip_view:
             # opt-in cv2 pipeline for throughput-bound hosts: same crop
             # geometry/rng draws, different resample kernel than the parity
-            # PIL path (transforms.image_transform docstring)
+            # PIL path (transforms.image_transform docstring); normalization
+            # stats resolved exactly like the factory did for pp_train
+            # (explicit args > pretrained-tag stats > OpenAI defaults)
+            from pathlib import Path
+
+            from daclip_tpu.models.pretrained import get_pretrained_cfg
             from daclip_tpu.transforms import image_transform
+            tag_cfg = (get_pretrained_cfg(args.model, args.pretrained)
+                       if args.pretrained
+                       and not Path(str(args.pretrained)).exists() else {})
             pp_train = image_transform(
                 clip_cfg.vision.image_size, is_train=True,
-                mean=args.image_mean, std=args.image_std, backend="cv2")
+                mean=args.image_mean or tag_cfg.get("mean"),
+                std=args.image_std or tag_cfg.get("std"), backend="cv2")
         ds = CsvDataset(args.train_data, pp_train, args.csv_img_key,
                         args.csv_caption_key, args.csv_separator,
                         tokenizer=tokenizer, da=args.da,
