@@ -64,6 +64,19 @@ def test_csv_dataset_da_mode(tmp_path):
     np.testing.assert_array_equal(f["texts"], s["texts"])
 
 
+def test_random_crop_ndarray_matches_pil():
+    import random
+
+    from PIL import Image
+
+    from daclip_tpu.data.csv_dataset import _random_crop_pil
+
+    arr = (np.random.RandomState(5).rand(90, 70, 3) * 255).astype(np.uint8)
+    a = _random_crop_pil(Image.fromarray(arr), rng=random.Random(13))
+    b = _random_crop_pil(arr, rng=random.Random(13))
+    np.testing.assert_array_equal(np.asarray(a), b)
+
+
 def test_synthetic_dataset():
     ds = SyntheticDataset(dataset_size=5, da=True)
     s = ds[0]
